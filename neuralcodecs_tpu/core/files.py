@@ -1,0 +1,94 @@
+"""Model-file type sniffing and hashing.
+
+Counterpart of FileUtils in the reference
+(/root/reference/NeuralCodecs.Core/Utils/FileUtils.cs:61-183): detection by
+extension first, then by magic bytes (pickle 0x80, ZIP "PK" for zipped
+PyTorch checkpoints), with safetensors/json short-circuits.
+"""
+
+from __future__ import annotations
+
+import enum
+import hashlib
+from pathlib import Path
+
+
+class ModelFileType(enum.Enum):
+    UNKNOWN = "unknown"
+    PYTORCH = "pytorch"          # pickle-based .pt/.pth (zipped or legacy)
+    SAFETENSORS = "safetensors"
+    CHECKPOINT = "checkpoint"    # .ckpt (zipped pickle)
+    WEIGHTS = "weights"          # raw .bin
+    CONFIG = "config"            # .json
+    NUMPY = "numpy"              # .npz (native artifact of this framework)
+    ONNX = "onnx"
+
+
+_EXTENSION_MAP = {
+    ".pt": ModelFileType.PYTORCH,
+    ".pth": ModelFileType.PYTORCH,
+    ".ckpt": ModelFileType.CHECKPOINT,
+    ".safetensors": ModelFileType.SAFETENSORS,
+    ".bin": ModelFileType.WEIGHTS,
+    ".json": ModelFileType.CONFIG,
+    ".npz": ModelFileType.NUMPY,
+    ".onnx": ModelFileType.ONNX,
+}
+
+
+def detect_file_type(path: str | Path) -> ModelFileType:
+    """Detect model file type by extension, falling back to magic bytes."""
+    path = Path(path)
+    ext_type = _EXTENSION_MAP.get(path.suffix.lower())
+    if ext_type is not None:
+        return ext_type
+    return detect_file_type_from_contents(path)
+
+
+def detect_file_type_from_contents(path: str | Path) -> ModelFileType:
+    """Sniff the file header: pickle protocol byte, ZIP magic, safetensors."""
+    path = Path(path)
+    if not path.is_file():
+        return ModelFileType.UNKNOWN
+    try:
+        with open(path, "rb") as f:
+            header = f.read(16)
+    except OSError:
+        return ModelFileType.UNKNOWN
+    if len(header) < 8:
+        return ModelFileType.UNKNOWN
+    if header[0] == 0x80:  # pickle protocol marker
+        return ModelFileType.PYTORCH
+    if header[:2] == b"PK":  # ZIP container: zipped pickle (torch.save) or ckpt
+        return (
+            ModelFileType.CHECKPOINT
+            if path.suffix.lower() == ".ckpt"
+            else ModelFileType.PYTORCH
+        )
+    # safetensors: little-endian u64 header length followed by a JSON object
+    header_len = int.from_bytes(header[:8], "little")
+    if 0 < header_len < 100_000_000 and header[8:9] == b"{":
+        return ModelFileType.SAFETENSORS
+    return ModelFileType.UNKNOWN
+
+
+def is_valid_model_file(path: str | Path) -> bool:
+    return detect_file_type(path) in (
+        ModelFileType.PYTORCH,
+        ModelFileType.SAFETENSORS,
+        ModelFileType.CHECKPOINT,
+        ModelFileType.WEIGHTS,
+        ModelFileType.NUMPY,
+    )
+
+
+def file_sha256(path: str | Path, chunk_size: int = 1 << 20) -> str:
+    """Hex SHA-256 of a file (cache integrity metadata)."""
+    sha = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(chunk_size)
+            if not chunk:
+                break
+            sha.update(chunk)
+    return sha.hexdigest()

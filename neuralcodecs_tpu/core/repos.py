@@ -1,0 +1,241 @@
+"""Remote model repositories: HuggingFace Hub, GitHub, direct URLs.
+
+Counterpart of the reference's repository layer
+(/root/reference/NeuralCodecs.Core/Loading/Repository/HuggingFaceRepository.cs:11-360,
+ GitHubRepository.cs:22-705, DirectUrlRepository.cs): resolve a source string
+to model + config files, download with progress/retry, detect Git-LFS pointer
+files masquerading as weights. Uses stdlib urllib so the framework has no
+network-library dependency; all downloads go through `ModelCache`.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import tempfile
+import urllib.request
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Protocol
+
+from neuralcodecs_tpu.core.events import EventEmitter, LoadProgress
+from neuralcodecs_tpu.core.exceptions import RepositoryError
+from neuralcodecs_tpu.core.retry import with_retry
+
+_WEIGHT_EXTS = (".safetensors", ".pt", ".pth", ".ckpt", ".bin", ".npz")
+_USER_AGENT = "neuralcodecs-tpu/0.1"
+
+
+@dataclass(frozen=True)
+class ModelInfo:
+    model_id: str
+    revision: str
+    files: list[str] = field(default_factory=list)
+
+
+class ModelRepository(Protocol):
+    def get_model_info(self, source: str, revision: str) -> ModelInfo: ...
+
+    def download_model(
+        self, source: str, revision: str, dest: Path, events: EventEmitter | None = None
+    ) -> dict[str, Path]:
+        """Download model + config files into dest; return {name: path}."""
+        ...
+
+
+def _http_get(url: str, headers: dict[str, str] | None = None) -> bytes:
+    req = urllib.request.Request(url, headers={"User-Agent": _USER_AGENT, **(headers or {})})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.read()
+
+
+def _download_file(
+    url: str,
+    dest: Path,
+    events: EventEmitter | None = None,
+    source: str = "",
+) -> Path:
+    def fetch() -> Path:
+        req = urllib.request.Request(url, headers={"User-Agent": _USER_AGENT})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            total = int(resp.headers.get("Content-Length") or 0)
+            read = 0
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            with open(dest, "wb") as f:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+                    read += len(chunk)
+                    if events is not None and total:
+                        events.emit_progress(
+                            LoadProgress(source, "download", read / total, dest.name)
+                        )
+        return dest
+
+    return with_retry(fetch)
+
+
+def is_lfs_pointer(path: Path) -> bool:
+    """Detect a Git-LFS pointer file downloaded instead of real weights.
+
+    Mirrors the validation in the reference's HuggingFaceRepository
+    (HuggingFaceRepository.cs:280-353).
+    """
+    try:
+        if path.stat().st_size > 1024:
+            return False
+        head = path.read_bytes()
+    except OSError:
+        return False
+    return head.startswith(b"version https://git-lfs.github.com/spec/")
+
+
+def _validate_weights(files: dict[str, Path]) -> None:
+    for name, p in files.items():
+        if name.endswith(_WEIGHT_EXTS) and is_lfs_pointer(p):
+            raise RepositoryError(
+                f"Downloaded file {name} is a Git-LFS pointer, not real weights"
+            )
+
+
+def pick_model_file(names: list[str]) -> str | None:
+    """Choose the weights file from a repo listing: safetensors preferred."""
+    by_ext: dict[str, list[str]] = {}
+    for n in names:
+        for ext in _WEIGHT_EXTS:
+            if n.lower().endswith(ext):
+                by_ext.setdefault(ext, []).append(n)
+    for ext in _WEIGHT_EXTS:
+        if by_ext.get(ext):
+            # prefer top-level, shortest path
+            return sorted(by_ext[ext], key=lambda n: (n.count("/"), len(n)))[0]
+    return None
+
+
+def pick_config_file(names: list[str]) -> str | None:
+    jsons = [n for n in names if n.lower().endswith(".json")]
+    for preferred in ("config.json",):
+        for n in jsons:
+            if n.split("/")[-1] == preferred:
+                return n
+    return jsons[0] if jsons else None
+
+
+class HuggingFaceRepository:
+    """HF Hub: list files via the models API, download via /resolve URLs."""
+
+    API = "https://huggingface.co/api/models/{repo}/revision/{rev}"
+    RESOLVE = "https://huggingface.co/{repo}/resolve/{rev}/{file}"
+
+    def get_model_info(self, source: str, revision: str = "main") -> ModelInfo:
+        try:
+            raw = _http_get(self.API.format(repo=source, rev=revision))
+            data = json.loads(raw)
+        except Exception as exc:  # network / JSON errors
+            raise RepositoryError(f"HF Hub query failed for {source}", source) from exc
+        files = [s["rfilename"] for s in data.get("siblings", [])]
+        return ModelInfo(model_id=source, revision=data.get("sha", revision), files=files)
+
+    def download_model(
+        self, source: str, revision: str, dest: Path, events: EventEmitter | None = None
+    ) -> dict[str, Path]:
+        info = self.get_model_info(source, revision)
+        model_file = pick_model_file(info.files)
+        if model_file is None:
+            raise RepositoryError(f"No weight file found in {source}", source)
+        config_file = pick_config_file(info.files)
+        out: dict[str, Path] = {}
+        for name in filter(None, [model_file, config_file]):
+            url = self.RESOLVE.format(repo=source, rev=revision, file=name)
+            out[name] = _download_file(url, dest / name, events, source)
+        _validate_weights(out)
+        return out
+
+
+class GitHubRepository:
+    """GitHub releases/raw-content downloads; revision maps to a tag/branch."""
+
+    _URL_RE = re.compile(
+        r"github\.com/(?P<owner>[^/]+)/(?P<repo>[^/]+)"
+        r"(?:/(?:releases/download/(?P<tag>[^/]+)|raw/(?P<branch>[^/]+))/(?P<path>.+))?"
+    )
+    API_CONTENTS = "https://api.github.com/repos/{owner}/{repo}/contents?ref={rev}"
+
+    def get_model_info(self, source: str, revision: str = "main") -> ModelInfo:
+        m = self._URL_RE.search(source)
+        if not m:
+            raise RepositoryError(f"Not a GitHub source: {source}", source)
+        owner, repo = m.group("owner"), m.group("repo")
+        if m.group("path"):
+            return ModelInfo(f"{owner}/{repo}", m.group("tag") or m.group("branch") or revision,
+                             [m.group("path")])
+        try:
+            raw = _http_get(self.API_CONTENTS.format(owner=owner, repo=repo, rev=revision))
+            listing = json.loads(raw)
+        except Exception as exc:
+            raise RepositoryError(f"GitHub query failed for {source}", source) from exc
+        files = [e["path"] for e in listing if e.get("type") == "file"]
+        return ModelInfo(f"{owner}/{repo}", revision, files)
+
+    def download_model(
+        self, source: str, revision: str, dest: Path, events: EventEmitter | None = None
+    ) -> dict[str, Path]:
+        m = self._URL_RE.search(source)
+        if m and m.group("path"):
+            # direct release-asset / raw URL
+            name = Path(m.group("path")).name
+            out = {name: _download_file(source, dest / name, events, source)}
+            _validate_weights(out)
+            return out
+        info = self.get_model_info(source, revision)
+        model_file = pick_model_file(info.files)
+        if model_file is None:
+            raise RepositoryError(f"No weight file found in {source}", source)
+        config_file = pick_config_file(info.files)
+        owner_repo = info.model_id
+        out = {}
+        for name in filter(None, [model_file, config_file]):
+            url = f"https://raw.githubusercontent.com/{owner_repo}/{info.revision}/{name}"
+            out[name] = _download_file(url, dest / name, events, source)
+        _validate_weights(out)
+        return out
+
+
+class DirectUrlRepository:
+    """A bare URL pointing straight at a weights file (e.g. the Encodec LM
+    checkpoints on dl.fbaipublicfiles.com, reference DirectUrlRepository.cs)."""
+
+    def get_model_info(self, source: str, revision: str = "main") -> ModelInfo:
+        name = Path(urllib.parse.urlparse(source).path).name or "model.bin"
+        return ModelInfo(model_id=source, revision=revision, files=[name])
+
+    def download_model(
+        self, source: str, revision: str, dest: Path, events: EventEmitter | None = None
+    ) -> dict[str, Path]:
+        name = Path(urllib.parse.urlparse(source).path).name or "model.bin"
+        out = {name: _download_file(source, dest / name, events, source)}
+        _validate_weights(out)
+        return out
+
+
+def repository_for_source(source: str) -> ModelRepository:
+    """Pick a repository backend from the source string.
+
+    Mirrors TorchModelLoader.GetRepositoryForSource
+    (/root/reference/NeuralCodecs.Torch/TorchModelLoader.cs:457).
+    """
+    if "github.com" in source:
+        return GitHubRepository()
+    if source.startswith(("http://", "https://")):
+        return DirectUrlRepository()
+    # "owner/repo" shorthand -> HF Hub
+    return HuggingFaceRepository()
+
+
+def download_to_temp(source: str, revision: str = "main",
+                     events: EventEmitter | None = None) -> dict[str, Path]:
+    repo = repository_for_source(source)
+    tmp = Path(tempfile.mkdtemp(prefix="nc_download_"))
+    return repo.download_model(source, revision, tmp, events)

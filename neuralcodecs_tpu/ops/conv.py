@@ -1,0 +1,161 @@
+"""1-D convolution ops in TPU-friendly channels-last layout.
+
+Semantics match torch.nn.functional.conv1d / conv_transpose1d (what the
+reference's WNConv1d/WNConvTranspose1d call into,
+/root/reference/NeuralCodecs.Torch/Modules/SNAC/WNConv1d.cs:137-144,
+WNConvTranspose1d.cs:119-140) but operate on ``[B, T, C]`` activations with
+``[K, Cin/groups, Cout]`` (HIO) weights so XLA tiles the contraction onto
+the MXU with channels on the lane dimension.
+
+Weight norm is *not* here: it is folded into plain weights at import time
+(see core/importer.fold_weight_norm).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_DIMNUMS = ("NHC", "HIO", "NHC")
+
+# Codec fidelity targets (>60 dB SNR vs reference) need true-f32 contractions;
+# TPU defaults drop conv inputs to bf16. HIGHEST keeps f32 on the MXU.
+_PRECISION = lax.Precision.HIGHEST
+
+
+def conv1d(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """torch-semantics conv1d on [B, T, Cin] -> [B, T', Cout].
+
+    weight: [K, Cin/groups, Cout]; symmetric zero padding of ``padding``.
+    """
+    out = lax.conv_general_dilated(
+        x,
+        weight,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+        precision=_PRECISION,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def conv_transpose1d(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    output_padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """torch-semantics conv_transpose1d on [B, T, Cin] -> [B, T', Cout].
+
+    Implemented as a fractionally-strided (lhs-dilated) regular convolution —
+    the form XLA lowers efficiently on TPU. ``weight`` is already in the
+    equivalent-regular-conv layout [K, Cin/groups, Cout] (see
+    torch_conv_transpose_weight_to_hio, which flips the kernel and swaps
+    channel axes at import time).
+
+    Output length: (T-1)*stride - 2*padding + dilation*(K-1) + output_padding + 1.
+    """
+    k = weight.shape[0]
+    lo = dilation * (k - 1) - padding
+    hi = dilation * (k - 1) - padding + output_padding
+    # NOTE: XLA's lhs_dilation path miscompiles asymmetric-padding cases
+    # (odd stride + output_padding=1, e.g. SNAC 44k's stride-3 decoder block)
+    # on both CPU and TPU backends (observed jax 0.9). Zero-stuff explicitly
+    # via reshape instead — XLA fuses the pad+reshape into the conv.
+    if stride > 1:
+        b, t, c = x.shape
+        x = jnp.pad(x[:, :, None, :], ((0, 0), (0, 0), (0, stride - 1), (0, 0)))
+        x = x.reshape(b, t * stride, c)[:, : (t - 1) * stride + 1, :]
+    out = lax.conv_general_dilated(
+        x,
+        weight,
+        window_strides=(1,),
+        padding=[(lo, hi)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+        precision=_PRECISION,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Weight layout transforms (import-time, numpy)
+# ---------------------------------------------------------------------------
+
+def torch_conv_weight_to_hio(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d weight [Cout, Cin/g, K] -> canonical HIO [K, Cin/g, Cout].
+
+    Group ordering: torch and XLA (feature_group_count) both order the output
+    channel dim group-major, so a pure transpose suffices.
+    """
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+def torch_conv_transpose_weight_to_hio(w: np.ndarray, groups: int = 1) -> np.ndarray:
+    """torch ConvTranspose1d weight [Cin, Cout/g, K] -> equivalent-conv HIO.
+
+    A transposed conv equals a regular conv over the stride-dilated input
+    with the kernel flipped in time and in/out channels swapped. With groups,
+    torch groups along Cin; the equivalent conv's HIO layout is
+    [K, Cin/g, Cout] with out channels ordered group-major.
+    """
+    cin, cout_g, k = w.shape
+    assert cin % groups == 0, (cin, groups)
+    w = w[:, :, ::-1]  # flip kernel taps
+    w = w.reshape(groups, cin // groups, cout_g, k)
+    # [g, Cin/g, Cout/g, K] -> [K, Cin/g, g, Cout/g] -> [K, Cin/g, Cout]
+    w = np.transpose(w, (3, 1, 0, 2)).reshape(k, cin // groups, groups * cout_g)
+    return np.ascontiguousarray(w)
+
+
+def conv_output_length(t: int, k: int, *, stride: int = 1, padding: int = 0,
+                       dilation: int = 1) -> int:
+    return (t + 2 * padding - dilation * (k - 1) - 1) // stride + 1
+
+
+def conv_transpose_output_length(t: int, k: int, *, stride: int = 1, padding: int = 0,
+                                 output_padding: int = 0, dilation: int = 1) -> int:
+    return (t - 1) * stride - 2 * padding + dilation * (k - 1) + output_padding + 1
+
+
+# ---------------------------------------------------------------------------
+# Initializers matching torch Conv1d defaults (kaiming uniform, a=sqrt(5))
+# ---------------------------------------------------------------------------
+
+def kaiming_uniform_conv_init(key: jax.Array, k: int, cin_g: int, cout: int,
+                              dtype=jnp.float32) -> jax.Array:
+    """torch nn.Conv1d default weight init in HIO layout."""
+    fan_in = cin_g * k
+    gain = np.sqrt(2.0 / (1.0 + 5.0))  # leaky_relu gain with a=sqrt(5)
+    bound = gain * np.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, (k, cin_g, cout), dtype, -bound, bound)
+
+
+def conv_bias_init(key: jax.Array, fan_in: int, cout: int, dtype=jnp.float32) -> jax.Array:
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, (cout,), dtype, -bound, bound)

@@ -1,0 +1,122 @@
+"""Checkpoint importer tests: pickle reader, safetensors, weight-norm folding."""
+
+import numpy as np
+import pytest
+import torch
+
+from neuralcodecs_tpu.core.importer import (
+    fold_weight_norm,
+    import_checkpoint,
+    load_state_dict,
+    normalize_state_dict,
+    strip_prefix,
+)
+from neuralcodecs_tpu.core.safetensors_io import load_safetensors, save_safetensors
+from neuralcodecs_tpu.core.files import ModelFileType, detect_file_type
+
+
+def test_torch_zip_checkpoint_roundtrip(tmp_path, rng):
+    sd = {
+        "encoder.weight": torch.randn(8, 4, 7),
+        "encoder.bias": torch.randn(8),
+        "codebook.weight": torch.randn(64, 8).to(torch.float16),
+        "alpha": torch.randn(1, 8, 1).to(torch.bfloat16),
+        "step": torch.tensor(3, dtype=torch.int64),
+    }
+    path = tmp_path / "model.pt"
+    torch.save(sd, path)
+
+    got = load_state_dict(path)
+    assert set(got) == set(sd)
+    np.testing.assert_allclose(got["encoder.weight"], sd["encoder.weight"].numpy())
+    np.testing.assert_allclose(got["codebook.weight"],
+                               sd["codebook.weight"].numpy())
+    np.testing.assert_allclose(got["alpha"], sd["alpha"].float().numpy())
+    assert got["step"] == 3
+
+
+def test_torch_checkpoint_nested_state_dict(tmp_path):
+    inner = {"layer.weight": torch.randn(4, 4)}
+    torch.save({"metadata": {"kbps": 8.0}, "state_dict": inner}, tmp_path / "m.pth")
+    got = load_state_dict(tmp_path / "m.pth")
+    assert "layer.weight" in got
+    np.testing.assert_allclose(got["layer.weight"], inner["layer.weight"].numpy())
+
+
+def test_torch_checkpoint_noncontiguous_tensor(tmp_path):
+    t = torch.randn(6, 8).t()  # transposed => non-trivial strides
+    torch.save({"w": t}, tmp_path / "m.pt")
+    got = load_state_dict(tmp_path / "m.pt")
+    np.testing.assert_allclose(got["w"], t.numpy())
+
+
+def test_safetensors_roundtrip(tmp_path, rng):
+    tensors = {
+        "a": rng.standard_normal((3, 5)).astype(np.float32),
+        "b": (rng.standard_normal(7) * 10).astype(np.int64),
+        "c": rng.standard_normal((2, 2)).astype(np.float16),
+    }
+    path = tmp_path / "m.safetensors"
+    save_safetensors(path, tensors, metadata={"format": "pt"})
+    assert detect_file_type(path) == ModelFileType.SAFETENSORS
+    got = load_safetensors(path)
+    for k in tensors:
+        np.testing.assert_array_equal(got[k], tensors[k])
+
+
+def test_fold_weight_norm_matches_torch_parametrization():
+    torch.manual_seed(1)
+    conv = torch.nn.Conv1d(6, 12, 5, bias=True)
+    wn = torch.nn.utils.parametrizations.weight_norm(conv)
+    sd = {f"conv.{k}": v.detach().numpy() for k, v in wn.state_dict().items()}
+    folded = fold_weight_norm(sd)
+    assert "conv.weight" in folded
+    assert not any("parametrizations" in k for k in folded)
+    np.testing.assert_allclose(folded["conv.weight"], wn.weight.detach().numpy(),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fold_weight_norm_legacy_names():
+    torch.manual_seed(2)
+    v = torch.randn(8, 4, 3)
+    g = torch.randn(8, 1, 1).abs()
+    sd = {"c.weight_v": v.numpy(), "c.weight_g": g.numpy(), "c.bias": np.zeros(8, np.float32)}
+    folded = fold_weight_norm(sd)
+    expected = (g * v / v.pow(2).sum((1, 2), keepdim=True).sqrt()).numpy()
+    np.testing.assert_allclose(folded["c.weight"], expected, rtol=1e-6)
+    assert "c.bias" in folded
+
+
+def test_fold_weight_norm_transpose_conv():
+    """ConvTranspose1d weight_norm (dim 0 = Cin) must fold identically."""
+    torch.manual_seed(3)
+    conv = torch.nn.ConvTranspose1d(6, 12, 4, stride=2)
+    wn = torch.nn.utils.parametrizations.weight_norm(conv)
+    sd = {f"ct.{k}": v.detach().numpy() for k, v in wn.state_dict().items()}
+    folded = fold_weight_norm(sd)
+    np.testing.assert_allclose(folded["ct.weight"], wn.weight.detach().numpy(),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_strip_prefix():
+    sd = {"module.a.w": np.zeros(1), "module.b.w": np.ones(1)}
+    got = strip_prefix(sd)
+    assert set(got) == {"a.w", "b.w"}
+
+
+def test_normalize_rejects_empty():
+    from neuralcodecs_tpu.core.exceptions import LoadError
+
+    with pytest.raises(LoadError):
+        normalize_state_dict({"not_a_tensor": "hello"})
+
+
+def test_import_checkpoint_end_to_end(tmp_path):
+    """Full pipeline: torch.save with weight-norm params -> folded numpy dict."""
+    torch.manual_seed(4)
+    conv = torch.nn.utils.parametrizations.weight_norm(torch.nn.Conv1d(2, 4, 3))
+    sd = {f"enc.{k}": v for k, v in conv.state_dict().items()}
+    torch.save(sd, tmp_path / "ckpt.pt")
+    got = import_checkpoint(tmp_path / "ckpt.pt")
+    np.testing.assert_allclose(got["enc.weight"], conv.weight.detach().numpy(),
+                               rtol=1e-6, atol=1e-7)
