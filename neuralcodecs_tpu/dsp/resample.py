@@ -62,7 +62,9 @@ def resample_poly(audio: jax.Array, src_rate: int, dst_rate: int,
     g = math.gcd(src_rate, dst_rate)
     up, down = dst_rate // g, src_rate // g
     rolloff = min(1.0, up / down) * 0.945
-    h = _kaiser_sinc_filter(num_zeros, up, rolloff) * up
+    # prototype sampled at 1/up spacing: per-phase DC gain is already 1, so
+    # no zero-stuffing gain compensation is needed
+    h = _kaiser_sinc_filter(num_zeros, up, rolloff)
     # upsample by `up` (zero-stuffing), filter, downsample by `down`:
     # expressed as conv with lhs_dilation=up, window_stride=down.
     lead_shape = audio.shape[:-1]

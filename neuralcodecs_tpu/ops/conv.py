@@ -21,8 +21,10 @@ from jax import lax
 _DIMNUMS = ("NHC", "HIO", "NHC")
 
 # Codec fidelity targets (>60 dB SNR vs reference) need true-f32 contractions;
-# TPU defaults drop conv inputs to bf16. HIGHEST keeps f32 on the MXU.
-_PRECISION = lax.Precision.HIGHEST
+# TPU defaults drop conv inputs to bf16, so f32 runs at HIGHEST. bf16 compute
+# (the fast path) uses the native single-pass MXU mode.
+def _precision_for(dtype) -> lax.Precision:
+    return lax.Precision.DEFAULT if dtype == jnp.bfloat16 else lax.Precision.HIGHEST
 
 
 def conv1d(
@@ -39,6 +41,7 @@ def conv1d(
 
     weight: [K, Cin/groups, Cout]; symmetric zero padding of ``padding``.
     """
+    weight = weight.astype(x.dtype)
     out = lax.conv_general_dilated(
         x,
         weight,
@@ -47,7 +50,7 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=_DIMNUMS,
         feature_group_count=groups,
-        precision=_PRECISION,
+        precision=_precision_for(x.dtype),
         preferred_element_type=x.dtype,
     )
     if bias is not None:
@@ -76,6 +79,7 @@ def conv_transpose1d(
 
     Output length: (T-1)*stride - 2*padding + dilation*(K-1) + output_padding + 1.
     """
+    weight = weight.astype(x.dtype)
     k = weight.shape[0]
     lo = dilation * (k - 1) - padding
     hi = dilation * (k - 1) - padding + output_padding
@@ -95,7 +99,7 @@ def conv_transpose1d(
         rhs_dilation=(dilation,),
         dimension_numbers=_DIMNUMS,
         feature_group_count=groups,
-        precision=_PRECISION,
+        precision=_precision_for(x.dtype),
         preferred_element_type=x.dtype,
     )
     if bias is not None:

@@ -1,0 +1,66 @@
+"""Parameter/batch sharding rules (NamedSharding partition specs).
+
+Params are flat dicts of ``{torch-dotted-name: array}`` (see models/layers.py)
+so partitioning is a name-pattern + shape rule, not a module-tree traversal:
+
+  * conv/linear weights whose output-channel dim divides the ``tp`` axis and
+    is large enough to be worth sharding -> sharded over ``tp`` on that dim
+    (Megatron-style column parallel; XLA inserts the all-gathers/reduces at
+    layer boundaries under GSPMD);
+  * codebooks, norms, biases of small layers -> replicated;
+  * batch ("dp") sharding for activations.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+#: below this many output channels, sharding costs more than it saves
+_MIN_SHARD_DIM = 256
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard dim 0 (batch) over dp; replicate the rest."""
+    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def _spec_for(name: str, shape: tuple[int, ...], tp: int) -> P:
+    if tp <= 1:
+        return P()
+    if "codebook" in name:
+        return P()  # codebooks are tiny and read by every shard
+    if len(shape) == 3 and name.endswith(".weight"):
+        # conv [K, I/g, O]: column-parallel over O
+        if shape[2] % tp == 0 and shape[2] >= _MIN_SHARD_DIM:
+            return P(None, None, "tp")
+        return P()
+    if len(shape) == 2 and name.endswith(".weight"):
+        # linear [in, out]: column-parallel over out
+        if shape[1] % tp == 0 and shape[1] >= _MIN_SHARD_DIM:
+            return P(None, "tp")
+        return P()
+    if len(shape) == 1 and name.endswith(".bias"):
+        if shape[0] % tp == 0 and shape[0] >= _MIN_SHARD_DIM:
+            return P("tp")
+        return P()
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: dict[str, jax.Array]) -> dict[str, NamedSharding]:
+    """NamedSharding per parameter according to the tp rules above."""
+    tp = mesh.shape.get("tp", 1)
+    return {
+        name: NamedSharding(mesh, _spec_for(name, tuple(arr.shape), tp))
+        for name, arr in params.items()
+    }
+
+
+def shard_params(mesh: Mesh, params: dict[str, jax.Array]) -> dict[str, jax.Array]:
+    """Place parameters onto the mesh according to their shardings."""
+    shardings = param_shardings(mesh, params)
+    return {name: jax.device_put(arr, shardings[name]) for name, arr in params.items()}
