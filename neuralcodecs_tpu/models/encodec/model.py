@@ -1,22 +1,248 @@
-"""Encodec model — full implementation lands with the SEANet stack.
+"""Encodec — streaming neural audio codec, TPU-native.
 
-Placeholder registration so the loader/registry surface is complete;
-see seanet.py/quantize.py for the compute modules.
+Rebuild of /root/reference/NeuralCodecs.Torch/Models/Encodec.cs:21-507:
+chunked encode (1 s segments with overlap for the 48 kHz preset), per-frame
+volume normalization with transmitted scales, SEANet encoder/decoder with
+streaming LSTM, EMA-codebook RVQ with bandwidth→n_q selection, and
+triangular overlap-add decode recombination.
+
+TPU design: the per-frame encode and decode paths are single jitted
+functions (cached per frame length — only the final partial chunk differs);
+the host loop merely slices segments and stacks results.
 """
 
 from __future__ import annotations
 
+import functools
+import math
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neuralcodecs_tpu.core.exceptions import CodecError
 from neuralcodecs_tpu.core.registry import registry
+from neuralcodecs_tpu.dsp.overlap import linear_overlap_add
 from neuralcodecs_tpu.models.encodec.config import EncodecConfig
+from neuralcodecs_tpu.models.encodec.quantize import ResidualVectorQuantizer
+from neuralcodecs_tpu.models.encodec.seanet import SEANetDecoder, SEANetEncoder
+from neuralcodecs_tpu.models.layers import Params, StateDict
+
+
+class EncodedFrame(NamedTuple):
+    """(codes [B, n_q, T_frames], scale [B, 1] | None) — EncodedFrame.cs:9."""
+
+    codes: jax.Array
+    scale: jax.Array | None
+
+
+def _normalize_source_names(sd: StateDict) -> StateDict:
+    """Map original-encodec / C#-reference key spellings onto ours."""
+    out = {}
+    for key, value in sd.items():
+        key = key.replace("encoder.model.", "encoder.layers.")
+        key = key.replace("decoder.model.", "decoder.layers.")
+        key = key.replace(".conv.conv.", ".conv.")
+        key = key.replace(".convtr.convtr.", ".conv.")
+        key = key.replace("quantizer.vq.layers.", "quantizer.layers.")
+        key = key.replace("._codebook.", ".codebook.")
+        out[key] = value
+    return out
 
 
 class Encodec:
-    def __init__(self, config: EncodecConfig | None = None, **kwargs):
+    """Public Encodec codec (API mirrors Models/Encodec.cs)."""
+
+    def __init__(self, config: EncodecConfig | None = None, *,
+                 params: Params | None = None, seed: int = 0):
         self.config = config or EncodecConfig()
-        raise NotImplementedError("Encodec lands in the next build stage")
+        cfg = self.config
+        if cfg.bandwidth is not None and cfg.bandwidth not in cfg.target_bandwidths:
+            raise CodecError(
+                f"Invalid bandwidth {cfg.bandwidth}. "
+                f"Select one of {cfg.target_bandwidths}")
+        self.bandwidth = cfg.bandwidth
+
+        self.encoder = SEANetEncoder(
+            "encoder.layers",
+            channels=cfg.channels, dimension=cfg.hidden_size,
+            n_filters=cfg.num_filters, n_residual_layers=cfg.num_residual_layers,
+            ratios=cfg.upsampling_ratios, kernel_size=cfg.kernel_size,
+            last_kernel_size=cfg.last_kernel_size,
+            residual_kernel_size=cfg.residual_kernel_size,
+            dilation_base=cfg.dilation_growth_rate, causal=cfg.use_causal_conv,
+            norm_type=cfg.norm_type, pad_mode=cfg.pad_mode,
+            compress=cfg.compress, lstm=cfg.num_lstm_layers)
+        self.decoder = SEANetDecoder(
+            "decoder.layers",
+            channels=cfg.channels, dimension=cfg.hidden_size,
+            n_filters=cfg.num_filters, n_residual_layers=cfg.num_residual_layers,
+            ratios=cfg.upsampling_ratios, kernel_size=cfg.kernel_size,
+            last_kernel_size=cfg.last_kernel_size,
+            residual_kernel_size=cfg.residual_kernel_size,
+            dilation_base=cfg.dilation_growth_rate, causal=cfg.use_causal_conv,
+            norm_type=cfg.norm_type, pad_mode=cfg.pad_mode,
+            compress=cfg.compress, lstm=cfg.num_lstm_layers,
+            trim_right_ratio=cfg.trim_right_ratio)
+
+        self.hop_length = self.encoder.hop_length
+        self.frame_rate = math.ceil(cfg.sample_rate / self.hop_length)
+        # reference: nQ = 1000·max(bw) / (ceil(sr/hop)·10)  (Encodec.cs:41-44)
+        n_q = int(1000 * max(cfg.target_bandwidths)
+                  / (math.ceil(cfg.sample_rate / self.hop_length) * 10))
+        self.quantizer = ResidualVectorQuantizer(
+            "quantizer", cfg.codebook_dim, n_q, cfg.codebook_size)
+        self.bits_per_codebook = int(math.log2(cfg.codebook_size))
+        if 2 ** self.bits_per_codebook != cfg.codebook_size:
+            raise CodecError("Quantizer bins must be a power of 2")
+
+        self._modules = [self.encoder, self.decoder, self.quantizer]
+        self.params: Params = params if params is not None else self.init_params(seed)
+
+    # ------------------------------------------------------------------ state
+
+    @property
+    def num_codebooks(self) -> int:
+        return self.quantizer.num_quantizers
+
+    @property
+    def segment_length(self) -> int | None:
+        return self.config.chunk_length
+
+    @property
+    def segment_stride(self) -> int | None:
+        return self.config.chunk_stride
+
+    def init_params(self, seed: int = 0) -> Params:
+        params: Params = {}
+        for module, k in zip(self._modules,
+                             jax.random.split(jax.random.key(seed), len(self._modules))):
+            module.init(k, params)
+        return params
+
+    def load_state_dict(self, sd: StateDict) -> "Encodec":
+        sd = _normalize_source_names(sd)
+        params: Params = {}
+        for module in self._modules:
+            module.convert(sd, params)
+        self.params = params
+        return self
+
+    def set_target_bandwidth(self, bandwidth: float) -> None:
+        """Encodec.SetTargetBandwidth (Models/Encodec.cs:409-419)."""
+        if bandwidth not in self.config.target_bandwidths:
+            raise CodecError(
+                f"This model doesn't support the bandwidth {bandwidth} kbps. "
+                f"Select one of {self.config.target_bandwidths} kbps")
+        self.bandwidth = bandwidth
+
+    # ----------------------------------------------------------------- compute
+
+    @functools.lru_cache(maxsize=None)
+    def _encode_frame_fn(self, n_q: int, normalize: bool):
+        def fn(params: Params, x: jax.Array):
+            """x: [B, T, C] -> (codes [B, n_q, frames], scale [B,1] | None)."""
+            scale = None
+            if normalize:
+                mono = jnp.mean(x, axis=-1, keepdims=True)          # [B, T, 1]
+                volume = jnp.sqrt(jnp.mean(mono**2, axis=1, keepdims=True))
+                scale = volume + 1e-8                                # [B, 1, 1]
+                x = x / scale
+                scale = scale[:, 0, :]                               # [B, 1]
+            emb = self.encoder(params, x)
+            codes = self.quantizer.encode(params, emb, n_q)
+            return codes, scale
+
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def _decode_frame_fn(self):
+        def fn(params: Params, codes: jax.Array, scale: jax.Array | None):
+            emb = self.quantizer.decode(params, codes)
+            out = self.decoder(params, emb)                          # [B, T, C]
+            if scale is not None:
+                out = out * scale[:, :, None]
+            return out
+
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------- public API
+
+    def _prepare(self, audio) -> jax.Array:
+        """Accept [T], [C, T], [B, C, T] (reference layout) -> [B, T, C]."""
+        a = jnp.asarray(audio, jnp.float32)
+        if a.ndim == 1:
+            a = a[None, None, :]
+        elif a.ndim == 2:
+            a = a[None, :, :]
+        if a.shape[1] != self.config.channels:
+            raise CodecError(
+                f"Expected {self.config.channels} channels, got {a.shape[1]}")
+        return jnp.swapaxes(a, 1, 2)
+
+    def encode(self, audio) -> list[EncodedFrame]:
+        """Audio -> encoded frames (chunk loop, Models/Encodec.cs:259-285)."""
+        x = self._prepare(audio)
+        length = x.shape[1]
+        segment = self.segment_length or length
+        stride = self.segment_stride or length
+        n_q = self.quantizer.num_quantizers_for_bandwidth(self.frame_rate,
+                                                          self.bandwidth)
+        frames = []
+        fn = self._encode_frame_fn(n_q, self.config.normalize)
+        for offset in range(0, length, stride):
+            chunk = x[:, offset: min(offset + segment, length), :]
+            codes, scale = fn(self.params, chunk)
+            frames.append(EncodedFrame(codes, scale))
+        return frames
+
+    def decode(self, frames: Sequence[EncodedFrame]) -> jax.Array:
+        """Encoded frames -> audio [B, C, T] (Models/Encodec.cs:213-235)."""
+        if not frames:
+            raise CodecError("No frames provided to decode")
+        if self.segment_length is None:
+            if len(frames) != 1:
+                raise CodecError("Expected single frame when no segmentation is used")
+            out = self._decode_frame_fn(self.params, frames[0].codes, frames[0].scale)
+            return jnp.swapaxes(out, 1, 2)
+        decoded = [
+            jnp.swapaxes(self._decode_frame_fn(self.params, f.codes, f.scale), 1, 2)
+            for f in frames
+        ]
+        return linear_overlap_add(decoded, self.segment_stride)
+
+    def forward(self, audio) -> jax.Array:
+        """Round-trip; output trimmed to input length (Models/Encodec.cs:150)."""
+        x = self._prepare(audio)
+        out = self.decode(self.encode(audio))
+        return out[..., : x.shape[1]]
+
+    def process_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+        audio = np.asarray(audio, dtype=np.float32)
+        if sample_rate != self.config.sample_rate:
+            from neuralcodecs_tpu.dsp.resample import resample_poly
+
+            audio = np.asarray(resample_poly(audio, sample_rate, self.config.sample_rate))
+        out = self.forward(audio)
+        return np.asarray(out[0, 0] if out.ndim == 3 else out)
+
+    # ---- compression entry points (ecdc) ------------------------------------
+
+    def compress(self, audio, use_lm: bool = False) -> bytes:
+        """Compress audio to the .ecdc container format."""
+        from neuralcodecs_tpu.models.encodec.compressor import compress
+
+        return compress(self, audio, use_lm=use_lm)
+
+    def decompress(self, data: bytes) -> jax.Array:
+        from neuralcodecs_tpu.models.encodec.compressor import decompress
+
+        return decompress(self, data)
 
 
-def _factory(config: EncodecConfig, **kwargs) -> "Encodec":
+def _factory(config: EncodecConfig, **kwargs) -> Encodec:
     return Encodec(config, **kwargs)
 
 

@@ -1,0 +1,247 @@
+"""Encodec residual vector quantizer with EMA codebooks.
+
+Rebuild of /root/reference/NeuralCodecs.Torch/Modules/Encodec/
+{EuclideanCodebook,VectorQuantizer,ResidualVectorQuantizer,VQUtils}.cs.
+
+Inference: the L2-argmin search reuses the shared XLA/Pallas codebook op.
+Training: the EMA update (cluster-size EMA, embed-sum EMA, Laplace smoothing
+— EuclideanCodebook.cs:309-330) is a PURE function (state in, state out),
+jit/pjit-friendly; under data parallelism the batch statistics take a psum
+over ``dp`` — the synchronization the reference left as a comment
+(EuclideanCodebook.cs:292).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from neuralcodecs_tpu.models.layers import Layer, Params, StateDict, _require
+from neuralcodecs_tpu.ops.vq import codebook_lookup, l2_argmin_codes
+
+
+class CodebookState(NamedTuple):
+    """EMA codebook training state (embed is the inference parameter)."""
+
+    embed: jax.Array        # [K, D]
+    embed_avg: jax.Array    # [K, D]
+    cluster_size: jax.Array  # [K]
+    inited: jax.Array       # [1] float {0,1}
+
+
+class EuclideanCodebook(Layer):
+    """EMA codebook (EuclideanCodebook.cs:13-331)."""
+
+    def __init__(self, prefix: str, dim: int, codebook_size: int, *,
+                 decay: float = 0.99, epsilon: float = 1e-5,
+                 threshold_ema_dead_code: int = 2):
+        self.prefix = prefix
+        self.dim = dim
+        self.codebook_size = codebook_size
+        self.decay = decay
+        self.epsilon = epsilon
+        self.threshold = threshold_ema_dead_code
+
+    def init(self, key, params: Params) -> None:
+        # VQUtils.UniformInit: kaiming-uniform-style init over the codebook
+        bound = 1.0 / math.sqrt(self.codebook_size)
+        embed = jax.random.uniform(key, (self.codebook_size, self.dim), jnp.float32,
+                                   -bound, bound)
+        params[f"{self.prefix}.embed"] = embed
+        params[f"{self.prefix}.embed_avg"] = embed
+        params[f"{self.prefix}.cluster_size"] = jnp.zeros((self.codebook_size,), jnp.float32)
+        params[f"{self.prefix}.inited"] = jnp.ones((1,), jnp.float32)
+
+    def convert(self, sd: StateDict, params: Params) -> None:
+        params[f"{self.prefix}.embed"] = jnp.asarray(_require(sd, f"{self.prefix}.embed"))
+        for name, default in (("embed_avg", params[f"{self.prefix}.embed"]),
+                              ("cluster_size", jnp.zeros((self.codebook_size,))),
+                              ("inited", jnp.ones((1,)))):
+            key = f"{self.prefix}.{name}"
+            params[key] = jnp.asarray(sd[key]) if key in sd else jnp.asarray(default)
+
+    def quantize(self, params: Params, x: jax.Array) -> jax.Array:
+        """x: [..., D] -> int32 codes [...]."""
+        return l2_argmin_codes(x, params[f"{self.prefix}.embed"])
+
+    def dequantize(self, params: Params, codes: jax.Array) -> jax.Array:
+        return codebook_lookup(codes, params[f"{self.prefix}.embed"])
+
+    # -- training ------------------------------------------------------------
+
+    def ema_update(self, state: CodebookState, flat_x: jax.Array,
+                   codes: jax.Array, dp_axis: str | None = None) -> CodebookState:
+        """One EMA step (UpdateCodebook :309-330). flat_x: [N, D], codes [N].
+
+        With ``dp_axis`` set (inside shard_map/pmap), batch statistics are
+        psum-ed across the data-parallel axis before the EMA — the
+        distributed sync the reference only hints at (:292).
+        """
+        onehot = jax.nn.one_hot(codes, self.codebook_size, dtype=flat_x.dtype)  # [N, K]
+        batch_size = jnp.sum(onehot, axis=0)                                    # [K]
+        embed_sum = jnp.einsum("nk,nd->kd", onehot, flat_x,
+                               preferred_element_type=jnp.float32)
+        if dp_axis is not None:
+            batch_size = jax.lax.psum(batch_size, dp_axis)
+            embed_sum = jax.lax.psum(embed_sum, dp_axis)
+        cluster_size = state.cluster_size * self.decay + batch_size * (1 - self.decay)
+        embed_avg = state.embed_avg * self.decay + embed_sum * (1 - self.decay)
+        n = jnp.sum(cluster_size)
+        smoothed = (cluster_size + self.epsilon) / (n + self.codebook_size * self.epsilon) * n
+        embed = embed_avg / smoothed[:, None]
+        return CodebookState(embed=embed, embed_avg=embed_avg,
+                             cluster_size=cluster_size, inited=state.inited)
+
+    def state_from_params(self, params: Params) -> CodebookState:
+        return CodebookState(
+            embed=params[f"{self.prefix}.embed"],
+            embed_avg=params[f"{self.prefix}.embed_avg"],
+            cluster_size=params[f"{self.prefix}.cluster_size"],
+            inited=params[f"{self.prefix}.inited"],
+        )
+
+    def state_to_params(self, state: CodebookState, params: Params) -> None:
+        params[f"{self.prefix}.embed"] = state.embed
+        params[f"{self.prefix}.embed_avg"] = state.embed_avg
+        params[f"{self.prefix}.cluster_size"] = state.cluster_size
+        params[f"{self.prefix}.inited"] = state.inited
+
+
+def kmeans(key: jax.Array, samples: jax.Array, num_clusters: int,
+           num_iters: int = 10) -> tuple[jax.Array, jax.Array]:
+    """K-means codebook init (VQUtils.KMeans :26-74), jit-able.
+
+    samples: [N, D]. Returns (means [K, D], bins [K]).
+    """
+    n = samples.shape[0]
+    idx = jax.random.permutation(key, n)[:num_clusters]
+    means = samples[idx]
+
+    def body(_, means):
+        codes = l2_argmin_codes(samples, means)
+        onehot = jax.nn.one_hot(codes, num_clusters, dtype=samples.dtype)
+        bins = jnp.sum(onehot, axis=0)
+        sums = jnp.einsum("nk,nd->kd", onehot, samples,
+                          preferred_element_type=jnp.float32)
+        new_means = sums / jnp.maximum(bins, 1.0)[:, None]
+        return jnp.where(bins[:, None] > 0, new_means, means)
+
+    means = jax.lax.fori_loop(0, num_iters, body, means)
+    codes = l2_argmin_codes(samples, means)
+    bins = jnp.sum(jax.nn.one_hot(codes, num_clusters, dtype=samples.dtype), axis=0)
+    return means, bins
+
+
+class VectorQuantizer(Layer):
+    """Single VQ stage: optional in/out projection + EMA codebook
+    (Modules/Encodec/VectorQuantizer.cs:11-180). Encodec configs use
+    dim == codebook_dim, so projections are identity (omitted)."""
+
+    def __init__(self, prefix: str, dim: int, codebook_size: int,
+                 codebook_dim: int | None = None, *, decay: float = 0.99,
+                 commitment_weight: float = 1.0):
+        codebook_dim = codebook_dim or dim
+        if codebook_dim != dim:
+            raise NotImplementedError(
+                "Encodec presets use dim == codebook_dim; projections not needed")
+        self.prefix = prefix
+        self.codebook = EuclideanCodebook(f"{prefix}.codebook", codebook_dim,
+                                          codebook_size, decay=decay)
+        self.codebook_size = codebook_size
+        self.commitment_weight = commitment_weight
+
+    def init(self, key, params: Params) -> None:
+        self.codebook.init(key, params)
+
+    def convert(self, sd: StateDict, params: Params) -> None:
+        self.codebook.convert(sd, params)
+
+    def encode(self, params: Params, x: jax.Array) -> jax.Array:
+        """x: [B, T, D] -> codes [B, T]."""
+        return self.codebook.quantize(params, x)
+
+    def decode(self, params: Params, codes: jax.Array) -> jax.Array:
+        return self.codebook.dequantize(params, codes)
+
+    def forward(self, params: Params, x: jax.Array):
+        """Returns (quantized [B,T,D] straight-through, codes, commit_loss)."""
+        codes = self.encode(params, x)
+        quantized = self.decode(params, codes).astype(x.dtype)
+        commit = jnp.mean((jax.lax.stop_gradient(quantized) - x) ** 2)
+        quantized = x + jax.lax.stop_gradient(quantized - x)
+        return quantized, codes, commit * self.commitment_weight
+
+
+class ResidualVectorQuantizer(Layer):
+    """Multi-stage RVQ with bandwidth→n_q selection
+    (Modules/Encodec/ResidualVectorQuantizer.cs:12-282)."""
+
+    def __init__(self, prefix: str, dim: int, num_quantizers: int,
+                 codebook_size: int, *, decay: float = 0.99):
+        self.prefix = prefix
+        self.dim = dim
+        self.num_quantizers = num_quantizers
+        self.codebook_size = codebook_size
+        self.layers = [
+            VectorQuantizer(f"{prefix}.layers.{i}", dim, codebook_size, decay=decay)
+            for i in range(num_quantizers)
+        ]
+
+    def init(self, key, params: Params) -> None:
+        for layer, k in zip(self.layers, jax.random.split(key, len(self.layers))):
+            layer.init(k, params)
+
+    def convert(self, sd: StateDict, params: Params) -> None:
+        for layer in self.layers:
+            layer.convert(sd, params)
+
+    # -- bandwidth logic (RVQ.cs:243-260) -------------------------------------
+
+    def bandwidth_per_quantizer(self, frame_rate: float) -> float:
+        return math.log2(self.codebook_size) * frame_rate
+
+    def num_quantizers_for_bandwidth(self, frame_rate: float,
+                                     bandwidth: float | None) -> int:
+        bw_per_q = self.bandwidth_per_quantizer(frame_rate)
+        if bandwidth is not None and bandwidth > 0:
+            return max(1, int(math.floor(bandwidth * 1000 / bw_per_q)))
+        return self.num_quantizers
+
+    # -- encode/decode ---------------------------------------------------------
+
+    def encode(self, params: Params, x: jax.Array, n_q: int | None = None) -> jax.Array:
+        """x: [B, T, D] -> codes [B, n_q, T] (int32)."""
+        n_q = n_q or self.num_quantizers
+        residual = x.astype(jnp.float32)
+        all_codes = []
+        for layer in self.layers[:n_q]:
+            codes = layer.encode(params, residual)
+            quantized = layer.decode(params, codes)
+            residual = residual - quantized
+            all_codes.append(codes)
+        return jnp.stack(all_codes, axis=1)
+
+    def decode(self, params: Params, codes: jax.Array) -> jax.Array:
+        """codes: [B, n_q, T] -> [B, T, D]."""
+        n_q = codes.shape[1]
+        out = self.layers[0].decode(params, codes[:, 0])
+        for i in range(1, n_q):
+            out = out + self.layers[i].decode(params, codes[:, i])
+        return out
+
+    def forward(self, params: Params, x: jax.Array, n_q: int | None = None):
+        """Training-path forward: (quantized, codes [B,n_q,T], losses [n_q])."""
+        n_q = n_q or self.num_quantizers
+        residual = x.astype(jnp.float32)
+        quantized_out = jnp.zeros_like(residual)
+        all_codes, all_losses = [], []
+        for layer in self.layers[:n_q]:
+            quantized, codes, loss = layer.forward(params, residual)
+            residual = residual - jax.lax.stop_gradient(quantized)
+            quantized_out = quantized_out + quantized
+            all_codes.append(codes)
+            all_losses.append(loss)
+        return quantized_out, jnp.stack(all_codes, axis=1), jnp.stack(all_losses)

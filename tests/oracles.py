@@ -282,3 +282,180 @@ class DACOracle(nn.Module):
             z_q = z_q + q
             codes.append(idx)
         return self.decoder(z_q), torch.stack(codes, 1)
+
+
+# ---------------------------------------------------------------------------
+# Encodec oracle
+# ---------------------------------------------------------------------------
+
+class SConv1dT(nn.Module):
+    """Stream-aware conv with the reference's causal/asymmetric padding."""
+
+    def __init__(self, cin, cout, k, stride=1, dilation=1, causal=False,
+                 pad_mode="reflect", group_norm=False):
+        super().__init__()
+        self.conv = nn.Conv1d(cin, cout, k, stride, 0, dilation)
+        self.k, self.stride, self.dilation = k, stride, dilation
+        self.causal, self.pad_mode = causal, pad_mode
+        self.norm = nn.GroupNorm(1, cout) if group_norm else None
+
+    @staticmethod
+    def _extra(length, eff_k, stride, pad_total):
+        n_frames = (length - eff_k + pad_total) / stride + 1
+        ideal = (math.ceil(n_frames) - 1) * stride + (eff_k - pad_total)
+        return ideal - length
+
+    def _pad(self, x, left, right):
+        mode = "constant" if self.pad_mode == "zero" else self.pad_mode
+        if mode == "reflect" and x.shape[-1] <= max(left, right):
+            extra = max(left, right) - x.shape[-1] + 1
+            x = F.pad(x, (0, extra))
+        return F.pad(x, (left, right), mode=mode)
+
+    def forward(self, x):
+        eff_k = (self.k - 1) * self.dilation + 1
+        pad_total = eff_k - self.stride
+        extra = self._extra(x.shape[-1], eff_k, self.stride, pad_total)
+        if self.causal:
+            x = self._pad(x, pad_total, extra)
+        else:
+            right = pad_total // 2
+            x = self._pad(x, pad_total - right, right + extra)
+        out = self.conv(x)
+        return self.norm(out) if self.norm is not None else out
+
+
+class SConvTr1dT(nn.Module):
+    def __init__(self, cin, cout, k, stride=1, causal=False,
+                 trim_right_ratio=1.0, group_norm=False):
+        super().__init__()
+        self.conv = nn.ConvTranspose1d(cin, cout, k, stride)
+        self.pad_total = k - stride
+        self.causal = causal
+        self.trim_right_ratio = trim_right_ratio
+        self.norm = nn.GroupNorm(1, cout) if group_norm else None
+
+    def forward(self, x):
+        y = self.conv(x)
+        if self.norm is not None:
+            y = self.norm(y)
+        if self.causal:
+            right = math.ceil(self.pad_total * self.trim_right_ratio)
+            left = self.pad_total - right
+        else:
+            right = self.pad_total // 2
+            left = self.pad_total - right
+        return y[..., left: y.shape[-1] - right]
+
+
+class SEANetResnetBlockT(nn.Module):
+    def __init__(self, dim, k_res=3, dilation=1, causal=False, compress=2,
+                 group_norm=False):
+        super().__init__()
+        hidden = dim // compress
+        self.block = nn.Sequential(
+            nn.ELU(), SConv1dT(dim, hidden, k_res, dilation=dilation,
+                               causal=causal, group_norm=group_norm),
+            nn.ELU(), SConv1dT(hidden, dim, 1, causal=causal, group_norm=group_norm),
+        )
+        self.shortcut = SConv1dT(dim, dim, 1, causal=causal, group_norm=group_norm)
+
+    def forward(self, x):
+        return self.shortcut(x) + self.block(x)
+
+
+class SLSTMT(nn.Module):
+    def __init__(self, dim, layers=2):
+        super().__init__()
+        self.lstm = nn.LSTM(dim, dim, layers)
+
+    def forward(self, x):
+        perm = x.permute(2, 0, 1)
+        out, _ = self.lstm(perm)
+        return (out + perm).permute(1, 2, 0)
+
+
+class _CodebookT(nn.Module):
+    def __init__(self, size, dim):
+        super().__init__()
+        self.embed = nn.Parameter(torch.randn(size, dim))
+
+
+class _VQT(nn.Module):
+    def __init__(self, size, dim):
+        super().__init__()
+        self.codebook = _CodebookT(size, dim)
+
+
+class _QuantT(nn.Module):
+    def __init__(self, n_q, size, dim):
+        super().__init__()
+        self.layers = nn.ModuleList([_VQT(size, dim) for _ in range(n_q)])
+
+
+class EncodecOracle(nn.Module):
+    """SEANet + EMA-codebook RVQ round-trip oracle (inference path)."""
+
+    def __init__(self, cfg, n_q):
+        super().__init__()
+        causal = cfg.use_causal_conv
+        gn = cfg.norm_type == "time_group_norm"
+        ratios = list(cfg.upsampling_ratios)
+        nf = cfg.num_filters
+
+        mult, idx, enc = 1, 0, []
+        enc.append(SConv1dT(cfg.channels, nf, cfg.kernel_size, causal=causal,
+                            group_norm=gn))
+        for ratio in reversed(ratios):
+            for j in range(cfg.num_residual_layers):
+                enc.append(SEANetResnetBlockT(mult * nf, cfg.residual_kernel_size,
+                                              cfg.dilation_growth_rate ** j,
+                                              causal, cfg.compress, gn))
+            enc.append(nn.ELU())
+            enc.append(SConv1dT(mult * nf, mult * nf * 2, ratio * 2, stride=ratio,
+                                causal=causal, group_norm=gn))
+            mult *= 2
+        enc.append(SLSTMT(mult * nf, cfg.num_lstm_layers))
+        enc.append(nn.ELU())
+        enc.append(SConv1dT(mult * nf, cfg.hidden_size, cfg.last_kernel_size,
+                            causal=causal, group_norm=gn))
+        self.encoder = nn.Sequential(*enc)
+
+        self.quantizer = _QuantT(n_q, cfg.codebook_size, cfg.codebook_dim)
+
+        dec = [SConv1dT(cfg.hidden_size, mult * nf, cfg.kernel_size, causal=causal,
+                        group_norm=gn),
+               SLSTMT(mult * nf, cfg.num_lstm_layers)]
+        for ratio in ratios:
+            dec.append(nn.ELU())
+            dec.append(SConvTr1dT(mult * nf, mult * nf // 2, ratio * 2, stride=ratio,
+                                  causal=causal, trim_right_ratio=cfg.trim_right_ratio,
+                                  group_norm=gn))
+            for j in range(cfg.num_residual_layers):
+                dec.append(SEANetResnetBlockT(mult * nf // 2, cfg.residual_kernel_size,
+                                              cfg.dilation_growth_rate ** j,
+                                              causal, cfg.compress, gn))
+            mult //= 2
+        dec.append(nn.ELU())
+        dec.append(SConv1dT(nf, cfg.channels, cfg.last_kernel_size, causal=causal,
+                            group_norm=gn))
+        self.decoder = nn.Sequential(*dec)
+
+    @torch.no_grad()
+    def forward(self, x):
+        emb = self.encoder(x)                       # [B, D, T]
+        residual = emb.transpose(1, 2)              # [B, T, D]
+        codes, quantized = [], torch.zeros_like(residual)
+        for vq in self.quantizer.layers:
+            cb = vq.codebook.embed
+            flat = residual.reshape(-1, residual.shape[-1])
+            dist = (flat.pow(2).sum(1, keepdim=True)
+                    + cb.pow(2).sum(1, keepdim=True).t()
+                    - 2 * flat @ cb.t())
+            idx = dist.argmin(-1).reshape(residual.shape[:2])
+            q = cb[idx]
+            residual = residual - q
+            quantized = quantized + q
+            codes.append(idx)
+        out = self.decoder(quantized.transpose(1, 2))
+        return out, torch.stack(codes, 1)
