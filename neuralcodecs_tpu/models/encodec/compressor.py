@@ -1,0 +1,140 @@
+"""End-to-end .ecdc compression/decompression.
+
+Rebuild of EncodecCompressor
+(/root/reference/NeuralCodecs.Torch/Modules/Encodec/EncodecCompressor.cs:12-431):
+header + per-frame [scales][entropy-coded codes]. Two payload codecs:
+  * bit packing (no LM): fully vectorizable; packed on host from a single
+    device fetch of the whole code tensor;
+  * LM + arithmetic coding: the serial per-timestep loop runs on host, with
+    the jitted LM step the only device work (SURVEY §3.3 boundary note).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from neuralcodecs_tpu.core.exceptions import CodecError
+from neuralcodecs_tpu.models.encodec import ecdc
+from neuralcodecs_tpu.models.encodec.entropy import (
+    ArithmeticCoder,
+    ArithmeticDecoder,
+    BitPacker,
+    BitUnpacker,
+    build_stable_quantized_cdf,
+)
+
+
+def _model_name(model) -> str:
+    return f"encodec_{model.config.sample_rate // 1000}khz"
+
+
+def compress(model, audio, use_lm: bool = False, lm=None) -> bytes:
+    """Compress one waveform ([C, T] or [T]) to .ecdc bytes."""
+    x = np.asarray(audio, np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.ndim != 2:
+        raise CodecError("Only single waveform can be encoded (shape [C, T])")
+    if x.shape[0] != model.config.channels:
+        raise CodecError(f"Expected {model.config.channels} channels, got {x.shape[0]}")
+    if use_lm and lm is None:
+        lm = model.get_language_model()
+
+    frames = model.encode(x)
+    out = io.BytesIO()
+    metadata = {
+        "m": _model_name(model),
+        "al": int(x.shape[-1]),
+        "nc": int(frames[0].codes.shape[1]),
+        "lm": bool(use_lm),
+        "ch": int(x.shape[0]),
+        "sr": int(model.config.sample_rate),
+    }
+    if model.bandwidth is not None:
+        metadata["bw"] = float(model.bandwidth)
+    ecdc.write_header(out, metadata)
+
+    for codes, scale in frames:
+        if scale is not None:
+            ecdc.write_scale_values(out, np.asarray(scale).reshape(-1))
+        codes_np = np.asarray(codes)[0]  # [K, T]
+        k, t = codes_np.shape
+        if use_lm:
+            coder = ArithmeticCoder(out)
+            state = lm.init_state(1)
+            inp = np.zeros((1, k, 1), np.int64)
+            for step in range(t):
+                probas, state = lm.step(inp, state)
+                inp = codes_np[None, :, step: step + 1] + 1
+                probas_np = np.asarray(probas)[0, :, :, 0]  # [card, K]
+                for kk in range(k):
+                    cdf = build_stable_quantized_cdf(
+                        probas_np[:, kk], coder.total_range_bits)
+                    coder.push(int(codes_np[kk, step]), cdf)
+            coder.flush()
+        else:
+            packer = BitPacker(model.bits_per_codebook, out)
+            # reference order: for t, for k (EncodecCompressor.cs:161-168)
+            packer.push_many(codes_np.T.reshape(-1))
+            packer.flush()
+    return out.getvalue()
+
+
+def decompress(model, data: bytes, lm=None):
+    """Decompress .ecdc bytes -> audio [B, C, T]."""
+    stream = io.BytesIO(data)
+    metadata = ecdc.read_header(stream)
+    ecdc.validate_metadata(metadata)
+    audio_length = int(metadata["al"])
+    num_codebooks = int(metadata["nc"])
+    use_lm = bool(metadata["lm"])
+    if "bw" in metadata:
+        model.set_target_bandwidth(float(metadata["bw"]))
+    if use_lm and lm is None:
+        lm = model.get_language_model()
+
+    from neuralcodecs_tpu.models.encodec.model import EncodedFrame
+
+    segment_length = model.segment_length or audio_length
+    segment_stride = model.segment_stride or audio_length
+    frames = []
+    for offset in range(0, audio_length, segment_stride):
+        this_len = min(audio_length - offset, segment_length)
+        frame_length = int(math.ceil(
+            this_len * model.frame_rate / model.config.sample_rate))
+        scale = None
+        if model.config.normalize:
+            scale = jnp.asarray(ecdc.read_scale_values(stream),
+                                jnp.float32).reshape(1, -1)
+        codes_np = np.zeros((num_codebooks, frame_length), np.int64)
+        if use_lm:
+            decoder = ArithmeticDecoder(stream)
+            state = lm.init_state(1)
+            inp = np.zeros((1, num_codebooks, 1), np.int64)
+            for step in range(frame_length):
+                probas, state = lm.step(inp, state)
+                probas_np = np.asarray(probas)[0, :, :, 0]
+                for kk in range(num_codebooks):
+                    cdf = build_stable_quantized_cdf(
+                        probas_np[:, kk], decoder.total_range_bits)
+                    symbol = decoder.pull(cdf)
+                    if symbol is None:
+                        raise CodecError("Stream ended too soon")
+                    codes_np[kk, step] = symbol
+                inp = codes_np[None, :, step: step + 1] + 1
+        else:
+            unpacker = BitUnpacker(model.bits_per_codebook, stream)
+            for step in range(frame_length):
+                for kk in range(num_codebooks):
+                    value = unpacker.pull()
+                    if value is None:
+                        raise CodecError("Stream ended too soon")
+                    codes_np[kk, step] = value
+        frames.append(EncodedFrame(jnp.asarray(codes_np)[None], scale))
+    audio = model.decode(frames)
+    return audio[..., :audio_length]

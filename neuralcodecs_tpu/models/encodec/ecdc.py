@@ -1,0 +1,58 @@
+""".ecdc container format (byte-compatible with the reference).
+
+Layout (BinaryIO.cs:8-292): ``b"ECDC"`` magic, 1-byte version (0), 4-byte
+big-endian JSON metadata length, UTF-8 JSON metadata, then per-frame
+payloads. Required metadata keys: m (model name), al (audio length),
+nc (num codebooks), lm (language-model flag).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, BinaryIO
+
+MAGIC = b"ECDC"
+CURRENT_VERSION = 0
+REQUIRED_KEYS = ("m", "al", "nc", "lm")
+
+
+def write_header(stream: BinaryIO, metadata: dict[str, Any]) -> None:
+    meta_bytes = json.dumps(metadata).encode("utf-8")
+    stream.write(MAGIC)
+    stream.write(bytes([CURRENT_VERSION]))
+    stream.write(struct.pack(">i", len(meta_bytes)))
+    stream.write(meta_bytes)
+
+
+def read_header(stream: BinaryIO) -> dict[str, Any]:
+    magic = stream.read(4)
+    if magic != MAGIC:
+        raise ValueError("Invalid Encodec header magic number")
+    version = stream.read(1)
+    if not version or version[0] != CURRENT_VERSION:
+        raise ValueError(f"Unsupported header version: {version!r}")
+    (meta_len,) = struct.unpack(">i", stream.read(4))
+    meta = json.loads(stream.read(meta_len).decode("utf-8"))
+    return meta
+
+
+def validate_metadata(metadata: dict[str, Any]) -> None:
+    for key in REQUIRED_KEYS:
+        if key not in metadata:
+            raise ValueError(f"Missing required metadata key: {key}")
+
+
+def write_scale_values(stream: BinaryIO, scales) -> None:
+    """Big-endian scale-factor block (EncodecCompressor.cs:78-95)."""
+    values = [float(v) for v in scales]
+    stream.write(struct.pack(">i", len(values)))
+    for v in values:
+        stream.write(struct.pack(">f", v))
+
+
+def read_scale_values(stream: BinaryIO) -> list[float]:
+    (count,) = struct.unpack(">i", stream.read(4))
+    if not (0 < count <= 1000):
+        raise ValueError(f"Invalid scale count: {count}")
+    return [struct.unpack(">f", stream.read(4))[0] for _ in range(count)]

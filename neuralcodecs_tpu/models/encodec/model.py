@@ -228,18 +228,59 @@ class Encodec:
         out = self.forward(audio)
         return np.asarray(out[0, 0] if out.ndim == 3 else out)
 
+    # ---- language model ------------------------------------------------------
+
+    _LM_CHECKPOINTS = {
+        24000: "https://dl.fbaipublicfiles.com/encodec/v0/encodec_lm_24khz-1608e3c0.th",
+        48000: "https://dl.fbaipublicfiles.com/encodec/v0/encodec_lm_48khz-7add9fc3.th",
+    }
+
+    def get_language_model(self, download: bool = True):
+        """Lazy LM construction (+ optional pretrained download), mirroring
+        Encodec.GetLanguageModel (Models/Encodec.cs:303-340)."""
+        if getattr(self, "_lm", None) is not None:
+            return self._lm
+        from neuralcodecs_tpu.models.encodec.lm import (
+            EncodecLanguageModel,
+            EncodecLMConfig,
+        )
+
+        lm_config = EncodecLMConfig(
+            codebook_size=self.config.codebook_size,
+            num_codebooks=self.num_codebooks,
+            dimension=200, num_heads=8, num_layers=5,
+            past_context=int(3.5 * self.frame_rate),
+        )
+        lm = EncodecLanguageModel(lm_config)
+        if download:
+            url = self._LM_CHECKPOINTS.get(self.config.sample_rate)
+            if url is not None:
+                try:
+                    from neuralcodecs_tpu.core.importer import import_checkpoint
+                    from neuralcodecs_tpu.core.loader import LoadOptions, ModelLoader
+
+                    path = ModelLoader().resolve(url, LoadOptions())
+                    lm.load_state_dict(import_checkpoint(path))
+                except Exception:  # offline / cache miss: keep random init
+                    pass
+        self._lm = lm
+        return lm
+
+    def set_language_model(self, lm) -> None:
+        self._lm = lm
+
     # ---- compression entry points (ecdc) ------------------------------------
 
-    def compress(self, audio, use_lm: bool = False) -> bytes:
+    def compress(self, audio, use_lm: bool = False, lm=None) -> bytes:
         """Compress audio to the .ecdc container format."""
         from neuralcodecs_tpu.models.encodec.compressor import compress
 
-        return compress(self, audio, use_lm=use_lm)
+        return compress(self, audio, use_lm=use_lm, lm=lm)
 
-    def decompress(self, data: bytes) -> jax.Array:
+    def decompress(self, data: bytes, lm=None) -> jax.Array:
         from neuralcodecs_tpu.models.encodec.compressor import decompress
 
-        return decompress(self, data)
+        return decompress(self, data, lm=lm)
 
 
 def _factory(config: EncodecConfig, **kwargs) -> Encodec:

@@ -1,0 +1,122 @@
+"""Entropy coding + .ecdc compression tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
+from neuralcodecs_tpu.models.encodec.entropy import (
+    ArithmeticCoder,
+    ArithmeticDecoder,
+    BitPacker,
+    BitUnpacker,
+    build_stable_quantized_cdf,
+)
+from neuralcodecs_tpu.models.encodec import ecdc
+
+from test_encodec import tiny_config
+
+
+def test_bit_packer_roundtrip(rng):
+    for bits in (1, 5, 10, 24):
+        values = rng.integers(0, 1 << bits, size=211)
+        buf = io.BytesIO()
+        packer = BitPacker(bits, buf)
+        packer.push_many(values)
+        packer.flush()
+        buf.seek(0)
+        unpacker = BitUnpacker(bits, buf)
+        got = [unpacker.pull() for _ in range(len(values))]
+        np.testing.assert_array_equal(got, values)
+
+
+def test_arithmetic_coder_roundtrip(rng):
+    """Range-code a random symbol stream against a random pdf per step."""
+    card = 64
+    n = 500
+    pdfs = rng.random((n, card)).astype(np.float32) + 1e-3
+    pdfs /= pdfs.sum(axis=1, keepdims=True)
+    symbols = np.array([rng.integers(0, card) for _ in range(n)])
+
+    buf = io.BytesIO()
+    coder = ArithmeticCoder(buf)
+    cdfs = [build_stable_quantized_cdf(pdfs[i], coder.total_range_bits)
+            for i in range(n)]
+    for i in range(n):
+        coder.push(int(symbols[i]), cdfs[i])
+    coder.flush()
+
+    buf.seek(0)
+    decoder = ArithmeticDecoder(buf)
+    got = [decoder.pull(cdfs[i]) for i in range(n)]
+    np.testing.assert_array_equal(got, symbols)
+    # entropy coding should beat flat packing on a skewed distribution
+    assert len(buf.getvalue()) < n * 8
+
+
+def test_cdf_builder_invariants(rng):
+    pdf = rng.random(1024).astype(np.float32)
+    pdf /= pdf.sum()
+    cdf = build_stable_quantized_cdf(pdf, 24)
+    assert cdf.shape == (1024,)
+    assert cdf[-1] <= 1 << 24
+    assert (np.diff(cdf) >= 2).all() and cdf[0] >= 2
+
+
+def test_ecdc_header_roundtrip():
+    buf = io.BytesIO()
+    meta = {"m": "encodec_24khz", "al": 12345, "nc": 8, "lm": False, "ch": 1,
+            "sr": 24000, "bw": 6.0}
+    ecdc.write_header(buf, meta)
+    buf.seek(0)
+    got = ecdc.read_header(buf)
+    ecdc.validate_metadata(got)
+    assert got == meta
+    # header is byte-compatible: magic + version + big-endian length
+    raw = buf.getvalue()
+    assert raw[:4] == b"ECDC" and raw[4] == 0
+    assert int.from_bytes(raw[5:9], "big") == len(raw) - 9
+
+
+def test_compress_roundtrip_bitpacking(rng):
+    cfg = tiny_config()
+    model = Encodec(cfg)
+    audio = (0.3 * rng.standard_normal(1600)).astype(np.float32)
+    blob = model.compress(audio, use_lm=False)
+    frames = model.encode(audio)
+    out = np.asarray(model.decompress(blob))
+    direct = np.asarray(model.decode(frames))[..., :1600]
+    np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_compress_roundtrip_lm(rng):
+    """LM + arithmetic coding round-trip must be bit-exact on codes."""
+    cfg = tiny_config()
+    model = Encodec(cfg)
+    lm = model.get_language_model(download=False)
+    audio = (0.3 * rng.standard_normal(800)).astype(np.float32)
+    blob = model.compress(audio, use_lm=True, lm=lm)
+    out = np.asarray(model.decompress(blob))
+    direct = np.asarray(model.decode(model.encode(audio)))[..., :800]
+    np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_lm_step_matches_full(rng):
+    """Streaming rolling-buffer steps must equal the full-sequence forward."""
+    from neuralcodecs_tpu.models.encodec.lm import EncodecLanguageModel, EncodecLMConfig
+
+    cfg = EncodecLMConfig(codebook_size=16, num_codebooks=2, dimension=32,
+                          num_heads=4, num_layers=2, past_context=8)
+    lm = EncodecLanguageModel(cfg, seed=1)
+    t = 12  # exceeds past_context: exercises the rolling window
+    codes = rng.integers(0, 17, size=(1, 2, t))
+    full = np.asarray(lm.forward_full(codes))
+
+    state = lm.init_state(1)
+    step_out = []
+    for i in range(t):
+        probas, state = lm.step(codes[:, :, i:i + 1], state)
+        step_out.append(np.asarray(probas)[..., 0])
+    stepped = np.stack(step_out, axis=-1)
+    np.testing.assert_allclose(stepped, full, rtol=2e-3, atol=1e-5)
