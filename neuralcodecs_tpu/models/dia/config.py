@@ -60,10 +60,16 @@ class DiaConfig(ModelConfig):
     decoder: DiaDecoderConfig = field(default_factory=DiaDecoderConfig)
     # generation defaults (reference DiaConfig.cs:118-148)
     cfg_scale: float = 3.0
-    temperature: float = 1.3
+    temperature: float = 1.2
     top_p: float = 0.95
-    top_k: int = 35
+    top_k: int = 45
     sample_rate: int = 44100
+    # audio speed-correction (reference DiaConfig.cs:115-148)
+    slowdown_mode: str = "dynamic"          # "dynamic" | "static"
+    static_slowdown_factor: float = 0.95
+    dynamic_slowdown_start_length: float = 400.0
+    dynamic_slowdown_max_length: float = 750.0
+    dynamic_slowdown_max_percent: float = 0.20
 
     def __post_init__(self) -> None:
         self.architecture = self.architecture or "dia"

@@ -1,0 +1,213 @@
+"""Dia transformer building blocks.
+
+Rebuild of /root/reference/NeuralCodecs.Torch/Modules/Dia/{DenseGeneral,
+RMSNorm,RotaryEmbedding,MlpBlock,SelfAttention,CrossAttention,KVCache}.cs.
+
+Canonical weight layout note: DenseGeneral kernels are stored
+``[in_shapes..., out_features...]`` in the Dia checkpoints
+(DenseGeneral.cs:24-35) — exactly the layout a jnp tensordot wants, so
+import is copy-through with no transposes.
+
+Attention specifics preserved from the reference: RoPE is the split-half
+(first/second) rotation with a timescale table (RotaryEmbedding.cs:34-66),
+attention uses scale=1.0 (SelfAttention.cs:196-204 — the q projection is
+trained to fold the 1/√d), and GQA repeats K/V heads across query groups.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neuralcodecs_tpu.models.layers import Params, StateDict, _require
+
+Array = jax.Array
+
+
+def rms_norm(x: Array, weight: Array, eps: float = 1e-5) -> Array:
+    """f32 RMS norm (RMSNorm.cs:35-47)."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
+
+
+def rope_timescale(head_dim: int, min_timescale: float = 1.0,
+                   max_timescale: float = 10000.0) -> np.ndarray:
+    fraction = 2.0 * np.arange(head_dim // 2, dtype=np.float32) / head_dim
+    return (min_timescale * (max_timescale / min_timescale) ** fraction).astype(np.float32)
+
+
+def apply_rope(x: Array, positions: Array, timescale: Array) -> Array:
+    """x: [B, T, H, Dh]; positions: [B, T] (or [1, T]). Split-half rotation."""
+    sinusoid = positions[..., None, None].astype(jnp.float32) / timescale
+    sin, cos = jnp.sin(sinusoid), jnp.cos(sinusoid)
+    x32 = x.astype(jnp.float32)
+    first, second = jnp.split(x32, 2, axis=-1)
+    out = jnp.concatenate([first * cos - second * sin,
+                           second * cos + first * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def sdpa_gqa(q: Array, k: Array, v: Array, mask: Array | None,
+             scale: float = 1.0) -> Array:
+    """q: [B, T, Nq, Dh]; k/v: [B, S, Nkv, Dh]; mask: [B, T, S] bool
+    (True = attend), shared across heads. Returns [B, T, Nq, Dh]."""
+    b, t, nq, dh = q.shape
+    nkv = k.shape[2]
+    groups = nq // nkv
+    q = q.reshape(b, t, nkv, groups, dh)
+    logits = jnp.einsum("btkgd,bskd->bkgts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :, :], logits, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=-1)
+    # guard fully-masked rows (softmax of all -inf -> nan)
+    weights = jnp.nan_to_num(weights).astype(q.dtype)
+    out = jnp.einsum("bkgts,bskd->btkgd", weights, v)
+    return out.reshape(b, t, nq, dh)
+
+
+class DenseGeneral:
+    """tensordot layer with kernel [in..., out...] (DenseGeneral.cs)."""
+
+    def __init__(self, prefix: str, in_shapes: tuple[int, ...],
+                 out_features: tuple[int, ...]):
+        self.prefix = prefix
+        self.in_shapes = in_shapes
+        self.out_features = out_features
+
+    def init(self, key, params: Params) -> None:
+        fan_in = int(np.prod(self.in_shapes))
+        std = 1.0 / math.sqrt(fan_in)
+        params[f"{self.prefix}.weight"] = std * jax.random.normal(
+            key, (*self.in_shapes, *self.out_features), jnp.float32)
+
+    def convert(self, sd: StateDict, params: Params) -> None:
+        w = _require(sd, f"{self.prefix}.weight")
+        expected = (*self.in_shapes, *self.out_features)
+        if tuple(w.shape) != expected:
+            raise ValueError(f"{self.prefix}.weight {w.shape} != {expected}")
+        params[f"{self.prefix}.weight"] = jnp.asarray(w)
+
+    def __call__(self, params: Params, x: Array) -> Array:
+        w = params[f"{self.prefix}.weight"].astype(x.dtype)
+        n_in = len(self.in_shapes)
+        axes = (tuple(range(x.ndim - n_in, x.ndim)), tuple(range(n_in)))
+        return jax.lax.dot_general(
+            x, w, dimension_numbers=(axes, ((), ())),
+            preferred_element_type=x.dtype)
+
+
+class MlpBlock:
+    """Fused gate+up projection [.., 2, I] -> silu(gate)·up -> wo (MlpBlock.cs)."""
+
+    def __init__(self, prefix: str, embed_dim: int, intermediate_dim: int):
+        self.wi_fused = DenseGeneral(f"{prefix}.wi_fused", (embed_dim,),
+                                     (2, intermediate_dim))
+        self.wo = DenseGeneral(f"{prefix}.wo", (intermediate_dim,), (embed_dim,))
+
+    def init(self, key, params: Params) -> None:
+        k1, k2 = jax.random.split(key)
+        self.wi_fused.init(k1, params)
+        self.wo.init(k2, params)
+
+    def convert(self, sd: StateDict, params: Params) -> None:
+        self.wi_fused.convert(sd, params)
+        self.wo.convert(sd, params)
+
+    def __call__(self, params: Params, x: Array) -> Array:
+        fused = self.wi_fused(params, x)          # [..., 2, I]
+        gate, up = fused[..., 0, :], fused[..., 1, :]
+        return self.wo(params, jax.nn.silu(gate) * up)
+
+
+class KVCacheSlot(NamedTuple):
+    """Preallocated decode cache: [B, maxT, Nkv, Dh] pair."""
+
+    k: Array
+    v: Array
+
+    @staticmethod
+    def zeros(batch: int, max_len: int, n_kv: int, head_dim: int,
+              dtype=jnp.float32) -> "KVCacheSlot":
+        shape = (batch, max_len, n_kv, head_dim)
+        return KVCacheSlot(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def update(self, k_new: Array, v_new: Array, index) -> "KVCacheSlot":
+        """Write step slice at time `index` (KVCache.Update :74-93)."""
+        k = jax.lax.dynamic_update_slice_in_dim(self.k, k_new, index, axis=1)
+        v = jax.lax.dynamic_update_slice_in_dim(self.v, v_new, index, axis=1)
+        return KVCacheSlot(k, v)
+
+
+class Attention:
+    """Shared self/cross attention with q/k/v/o DenseGenerals
+    (SelfAttention.cs / CrossAttention.cs)."""
+
+    def __init__(self, prefix: str, q_dim: int, kv_dim: int, n_q: int,
+                 n_kv: int, head_dim: int, out_dim: int,
+                 min_timescale: float = 1.0, max_timescale: float = 10000.0):
+        self.n_q, self.n_kv, self.head_dim = n_q, n_kv, head_dim
+        self.q_proj = DenseGeneral(f"{prefix}.q_proj", (q_dim,), (n_q, head_dim))
+        self.k_proj = DenseGeneral(f"{prefix}.k_proj", (kv_dim,), (n_kv, head_dim))
+        self.v_proj = DenseGeneral(f"{prefix}.v_proj", (kv_dim,), (n_kv, head_dim))
+        self.o_proj = DenseGeneral(f"{prefix}.o_proj", (n_q, head_dim), (out_dim,))
+        self.timescale = jnp.asarray(rope_timescale(head_dim, min_timescale,
+                                                    max_timescale))
+        self._children = [self.q_proj, self.k_proj, self.v_proj, self.o_proj]
+
+    def init(self, key, params: Params) -> None:
+        for child, k in zip(self._children, jax.random.split(key, 4)):
+            child.init(k, params)
+
+    def convert(self, sd: StateDict, params: Params) -> None:
+        for child in self._children:
+            child.convert(sd, params)
+
+    # self-attention over a full block (encoder / decoder prefill)
+    def self_attn(self, params: Params, x: Array, positions: Array,
+                  mask: Array | None, cache: KVCacheSlot | None = None,
+                  prefill: bool = False):
+        q = apply_rope(self.q_proj(params, x), positions, self.timescale)
+        k = apply_rope(self.k_proj(params, x), positions, self.timescale)
+        v = self.v_proj(params, x)
+        new_cache = cache
+        if cache is not None and prefill:
+            new_cache = KVCacheSlot(
+                jax.lax.dynamic_update_slice_in_dim(cache.k, k, 0, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(cache.v, v, 0, axis=1))
+        out = sdpa_gqa(q, k, v, mask)
+        return self.o_proj(params, out), new_cache
+
+    # single-step decode with cache update
+    def step_attn(self, params: Params, x: Array, position: Array,
+                  cache: KVCacheSlot, index, mask: Array):
+        """x: [B, 1, D]; position: [B, 1]; mask: [B, 1, 1, maxT] (True=attend)."""
+        q = apply_rope(self.q_proj(params, x), position, self.timescale)
+        k = apply_rope(self.k_proj(params, x), position, self.timescale)
+        v = self.v_proj(params, x)
+        cache = cache.update(k, v, index)
+        out = sdpa_gqa(q, cache.k, cache.v, mask)
+        return self.o_proj(params, out), cache
+
+    # cross-attention against a precomputed cache
+    def cross_attn(self, params: Params, x: Array, positions: Array,
+                   cache: KVCacheSlot, mask: Array | None):
+        q = apply_rope(self.q_proj(params, x), positions, self.timescale)
+        out = sdpa_gqa(q, cache.k, cache.v, mask)
+        return self.o_proj(params, out)
+
+    def precompute_cross_cache(self, params: Params, enc_out: Array,
+                               enc_positions: Array,
+                               padding_mask: Array | None) -> KVCacheSlot:
+        """K/V from encoder output (Decoder.PrecomputeCrossAttnCache :75-103)."""
+        k = apply_rope(self.k_proj(params, enc_out), enc_positions, self.timescale)
+        v = self.v_proj(params, enc_out)
+        if padding_mask is not None:
+            k = jnp.where(padding_mask[:, :, None, None], k, 0.0)
+        return KVCacheSlot(k, v)

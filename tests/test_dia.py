@@ -1,0 +1,116 @@
+"""Dia TTS tests: generation loop mechanics, delay pattern, sampling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neuralcodecs_tpu.models.dia import Dia, DiaConfig
+from neuralcodecs_tpu.models.dia.config import (
+    DiaDataConfig,
+    DiaDecoderConfig,
+    DiaEncoderConfig,
+)
+from neuralcodecs_tpu.models.dia.audio_delay import apply_audio_delay, revert_audio_delay
+
+
+def tiny_config(**over):
+    base = dict(
+        vocab_size=256,
+        tgt_vocab_size=36,  # 32 codes + eos(32)/pad(33)/bos(34) + 1
+        data=DiaDataConfig(
+            text_length=16, audio_length=32, channels=3,
+            audio_eos_value=32, audio_pad_value=33, audio_bos_value=34,
+            delay_pattern=[0, 1, 2]),
+        encoder=DiaEncoderConfig(n_layer=2, n_embd=32, n_hidden=64, n_head=2,
+                                 head_dim=16),
+        decoder=DiaDecoderConfig(n_layer=2, n_embd=32, n_hidden=64,
+                                 gqa_query_heads=4, kv_heads=2, gqa_head_dim=8,
+                                 cross_query_heads=2, cross_head_dim=16),
+    )
+    base.update(over)
+    return DiaConfig(**base)
+
+
+def test_delay_pattern_roundtrip(rng):
+    codes = jnp.asarray(rng.integers(0, 100, size=(2, 10, 3)))
+    delayed = apply_audio_delay(codes, pad_value=-2, bos_value=-3,
+                                delay_pattern=[0, 2, 3])
+    d = np.asarray(delayed)
+    # head of delayed channels is BOS
+    assert (d[:, :2, 1] == -3).all() and (d[:, :3, 2] == -3).all()
+    np.testing.assert_array_equal(d[:, :, 0], np.asarray(codes)[:, :, 0])
+    reverted = np.asarray(revert_audio_delay(delayed, pad_value=-2,
+                                             delay_pattern=[0, 2, 3]))
+    # non-tail region must reconstruct the original
+    np.testing.assert_array_equal(reverted[:, :7], np.asarray(codes)[:, :7])
+
+
+def test_encode_text_speaker_tags():
+    model_cfg = tiny_config()
+    dia = Dia(model_cfg)
+    tokens = dia.encode_text("[S1]hi[S2]yo")
+    assert tokens[0] == 1 and tokens[3] == 2
+    assert tokens.tolist() == [1, ord("h"), ord("i"), 2, ord("y"), ord("o")]
+
+
+def test_dia_generate_codes_shapes(rng):
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    codes, lengths = dia.generate_codes(["[S1]hello", "[S2]ok"], max_tokens=24,
+                                        seed=1)
+    assert codes.shape[0] == 2 and codes.shape[2] == 3
+    assert codes.dtype == np.int32
+    assert (codes >= 0).all() and (codes <= 1023).all()
+    assert (lengths >= 0).all()
+
+
+def test_dia_generation_deterministic_per_seed():
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    c1, _ = dia.generate_codes(["[S1]abc"], max_tokens=20, seed=7)
+    c2, _ = dia.generate_codes(["[S1]abc"], max_tokens=20, seed=7)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_dia_audio_prompt_prefill():
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    prompt = np.ones((4, 3), np.int64) * 5
+    codes, lengths = dia.generate_codes(["[S1]x"], max_tokens=24,
+                                        audio_prompts=[prompt], seed=2)
+    assert codes.shape[0] == 1
+
+
+def test_sample_next_token_masks():
+    from neuralcodecs_tpu.models.dia.model import _sample_next_token
+
+    logits = jnp.asarray(np.array([[0.0, 10.0, 0.0, 0.0],
+                                   [0.0, 0.0, 0.0, 9.0]], np.float32))
+    # greedy
+    out = _sample_next_token(logits, jax.random.key(0), 0.0, None, 1.0, None)
+    np.testing.assert_array_equal(np.asarray(out), [1, 3])
+    # eos (=3) masked unless argmax: row0 can't sample 3; row1 can
+    outs = set()
+    for s in range(20):
+        out = _sample_next_token(logits * 0 + logits, jax.random.key(s), 1.0,
+                                 None, 1.0, 3)
+        outs.add(int(np.asarray(out)[0]))
+    assert 3 not in outs
+
+
+def test_dia_with_dac_vocoder(rng):
+    """Full TTS bridge: tiny Dia + tiny DAC."""
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    dac_cfg = DACConfig(encoder_dim=8, encoder_rates=[2, 2], decoder_dim=32,
+                        decoder_rates=[2, 2], n_codebooks=3, codebook_size=1024,
+                        codebook_dim=4, sample_rate=44100)
+    dia.set_dac_model(DAC(dac_cfg))
+    audios = dia.generate(["[S1]hello there"], max_tokens=20, seed=3)
+    assert len(audios) == 1
+    assert audios[0].ndim == 1 and audios[0].size > 0
+    assert np.isfinite(audios[0]).all()
