@@ -1,0 +1,143 @@
+"""Recursive (IIR) filter primitives as lax.scan kernels.
+
+The reference implements biquads and delay lines with per-sample C# loops
+(/root/reference/NeuralCodecs.Torch/AudioTools/AudioTensorEffects.cs,
+LoudnessMeter.cs). Here every recursion is a `lax.scan` whose carry is the
+filter state vectorized over [B, C] — sequential in time (inherent to IIR)
+but fully parallel across batch/channels on the VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=())
+def biquad(x: jax.Array, b: jax.Array, a: jax.Array) -> jax.Array:
+    """Direct-form-II-transposed biquad over the last axis.
+
+    x: [..., T]; b: [3]; a: [3] with a[0] == 1.
+    """
+    b = jnp.asarray(b, jnp.float32)
+    a = jnp.asarray(a, jnp.float32)
+    lead = x.shape[:-1]
+    xt = jnp.swapaxes(x.reshape(-1, x.shape[-1]), 0, 1)  # [T, N]
+
+    def step(carry, x_n):
+        z1, z2 = carry
+        y = b[0] * x_n + z1
+        z1_new = b[1] * x_n - a[1] * y + z2
+        z2_new = b[2] * x_n - a[2] * y
+        return (z1_new, z2_new), y
+
+    n = xt.shape[1]
+    init = (jnp.zeros(n, x.dtype), jnp.zeros(n, x.dtype))
+    _, ys = jax.lax.scan(step, init, xt)
+    return jnp.swapaxes(ys, 0, 1).reshape(*lead, -1)
+
+
+def fir_filter(x: jax.Array, h: jax.Array, padding: int | None = None) -> jax.Array:
+    """FIR filtering of [..., T] via conv (symmetric zero padding)."""
+    h = jnp.asarray(h, jnp.float32)
+    taps = h.shape[0]
+    pad = taps // 2 if padding is None else padding
+    lead = x.shape[:-1]
+    xr = x.reshape(-1, x.shape[-1])[..., None]  # [N, T, 1]
+    y = jax.lax.conv_general_dilated(
+        xr, h[::-1][:, None, None], (1,), [(pad, pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=jax.lax.Precision.HIGHEST)[..., 0]
+    return y.reshape(*lead, -1)
+
+
+def one_pole_follower(x: jax.Array, attack_gain: float, release_gain: float) -> jax.Array:
+    """Envelope follower: level += g·(|x| - level), g chosen per-sample by
+    attack/release (compressor core, AudioTensorEffects.cs:23-45)."""
+    lead = x.shape[:-1]
+    xt = jnp.swapaxes(jnp.abs(x.reshape(-1, x.shape[-1])), 0, 1)  # [T, N]
+
+    def step(level, x_n):
+        gain = jnp.where(x_n > level, attack_gain, release_gain)
+        level = level + gain * (x_n - level)
+        return level, level
+
+    _, env = jax.lax.scan(step, jnp.zeros(xt.shape[1], x.dtype), xt)
+    return jnp.swapaxes(env, 0, 1).reshape(*lead, -1)
+
+
+def comb_filter(x: jax.Array, delay: int, feedback: float,
+                damping: float = 0.0) -> jax.Array:
+    """Feedback comb filter with optional one-pole damping in the loop
+    (Schroeder reverberator comb, AudioTensorEffects.cs ApplyReverb).
+
+    y[n] = lp(buf[n]) where buf holds x[n-D] + fb·y[n-D]; O(1) per step via
+    circular-buffer carry.
+    """
+    lead = x.shape[:-1]
+    xt = jnp.swapaxes(x.reshape(-1, x.shape[-1]), 0, 1)  # [T, N]
+    n = xt.shape[1]
+
+    def step(carry, x_n):
+        buf, ptr, last = carry
+        delayed = buf[ptr]
+        out = delayed * (1.0 - damping) + last * damping
+        buf = buf.at[ptr].set(x_n + out * feedback)
+        ptr = (ptr + 1) % delay
+        return (buf, ptr, out), out
+
+    init = (jnp.zeros((delay, n), x.dtype), jnp.zeros((), jnp.int32),
+            jnp.zeros((n,), x.dtype))
+    _, ys = jax.lax.scan(step, init, xt)
+    return jnp.swapaxes(ys, 0, 1).reshape(*lead, -1)
+
+
+def allpass_filter(x: jax.Array, delay: int, feedback: float = 0.5) -> jax.Array:
+    """Schroeder allpass: y[n] = -g·x[n] + d[n] + g·d[n], buffer feeds
+    x[n] + g·y[n] (AudioTensorEffects.cs ApplyReverb allpass section)."""
+    lead = x.shape[:-1]
+    xt = jnp.swapaxes(x.reshape(-1, x.shape[-1]), 0, 1)
+    n = xt.shape[1]
+
+    def step(carry, x_n):
+        buf, ptr = carry
+        delayed = buf[ptr]
+        out = -feedback * x_n + delayed + feedback * delayed
+        buf = buf.at[ptr].set(x_n + feedback * out)
+        ptr = (ptr + 1) % delay
+        return (buf, ptr), out
+
+    init = (jnp.zeros((delay, n), x.dtype), jnp.zeros((), jnp.int32))
+    _, ys = jax.lax.scan(step, init, xt)
+    return jnp.swapaxes(ys, 0, 1).reshape(*lead, -1)
+
+
+def variable_delay_line(x: jax.Array, delays: jax.Array, max_delay: int,
+                        feedback: float) -> jax.Array:
+    """Time-varying fractional delay with feedback (flanger core,
+    AudioTensorEffects.cs ApplyFlanger): linear interpolation between
+    integer taps, circular buffer carry."""
+    lead = x.shape[:-1]
+    xt = jnp.swapaxes(x.reshape(-1, x.shape[-1]), 0, 1)  # [T, N]
+    n = xt.shape[1]
+    size = max_delay + 2
+
+    def step(carry, inputs):
+        buf, ptr = carry
+        x_n, d = inputs
+        d_floor = jnp.floor(d).astype(jnp.int32)
+        frac = d - d_floor
+        idx1 = (ptr - d_floor) % size
+        idx2 = (ptr - d_floor - 1) % size
+        delayed = buf[idx1] * (1 - frac) + buf[idx2] * frac
+        buf = buf.at[ptr % size].set(x_n + delayed * feedback)
+        ptr = ptr + 1
+        return (buf, ptr), delayed
+
+    init = (jnp.zeros((size, n), x.dtype), jnp.zeros((), jnp.int32))
+    _, ys = jax.lax.scan(step, init, (xt, delays.astype(jnp.float32)))
+    return jnp.swapaxes(ys, 0, 1).reshape(*lead, -1)

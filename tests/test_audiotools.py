@@ -1,0 +1,163 @@
+"""AudioTools layer tests: effects, loudness, AudioSignal, DACFile."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from neuralcodecs_tpu.dsp import effects
+from neuralcodecs_tpu.dsp.filters import biquad, comb_filter
+from neuralcodecs_tpu.dsp.loudness import integrated_loudness, normalize_loudness
+from neuralcodecs_tpu.dsp.signal import AudioSignal
+
+
+def tone(freq=440.0, sr=16000, seconds=0.5, amp=0.5):
+    t = np.arange(int(sr * seconds)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_biquad_matches_scipy_style_reference(rng):
+    """Biquad vs direct difference-equation evaluation."""
+    x = rng.standard_normal(200).astype(np.float32)
+    b = np.array([0.2, 0.3, 0.1], np.float32)
+    a = np.array([1.0, -0.5, 0.25], np.float32)
+    ref = np.zeros_like(x)
+    for n in range(len(x)):
+        ref[n] = (b[0] * x[n] + (b[1] * x[n - 1] if n >= 1 else 0)
+                  + (b[2] * x[n - 2] if n >= 2 else 0)
+                  - (a[1] * ref[n - 1] if n >= 1 else 0)
+                  - (a[2] * ref[n - 2] if n >= 2 else 0))
+    got = np.asarray(biquad(jnp.asarray(x), jnp.asarray(b), jnp.asarray(a)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_compressor_reduces_loud_passages():
+    sr = 16000
+    x = np.concatenate([tone(sr=sr, amp=0.05), tone(sr=sr, amp=0.9)])
+    out = np.asarray(effects.apply_compressor(x, sr, threshold=-20.0, ratio=8.0))
+    # loud part compressed, quiet part (below threshold) untouched
+    loud_in = np.abs(x[10000:]).max()
+    loud_out = np.abs(out[10000:]).max()
+    assert loud_out < loud_in * 0.7
+    np.testing.assert_allclose(out[:6000], x[:6000], atol=1e-4)
+
+
+def test_delay_creates_echo():
+    sr = 8000
+    x = np.zeros(4000, np.float32)
+    x[0] = 1.0
+    out = np.asarray(effects.apply_delay(x, sr, delay_time=0.1, feedback=0.5,
+                                         wet_level=1.0, dry_level=0.0))
+    d = int(0.1 * sr)
+    assert abs(out[d] - 1.0) < 1e-5      # first echo
+    assert abs(out[2 * d] - 0.5) < 1e-5  # feedback echo
+    assert abs(out[0]) < 1e-6
+
+
+def test_distortion_bounds_output(rng):
+    x = (3 * rng.standard_normal(1000)).astype(np.float32)
+    out = np.asarray(effects.apply_distortion(x, amount=0.9))
+    assert np.abs(out).max() <= 1.0 + 1e-6
+
+
+def test_lowpass_attenuates_high_freq():
+    sr = 16000
+    lo, hi = tone(200, sr), tone(6000, sr)
+    x = lo + hi
+    out = np.asarray(effects.apply_lowpass(x, sr, cutoff_freq=1000.0))
+    # high tone should be strongly attenuated, low preserved
+    def power(sig, f):
+        t = np.arange(len(sig)) / sr
+        return abs(np.mean(sig * np.exp(-2j * np.pi * f * t)))
+    assert power(out, 6000) < 0.05 * power(x, 6000)
+    assert power(out, 200) > 0.8 * power(x, 200)
+
+
+def test_reverb_and_tremolo_run(rng):
+    sr = 8000
+    x = tone(sr=sr, seconds=0.25)
+    rev = np.asarray(effects.apply_reverb(x, room_size=0.5, wet_level=0.4))
+    assert rev.shape == x.shape and np.isfinite(rev).all()
+    trem = np.asarray(effects.apply_tremolo(x, sr, rate=4.0, depth=0.8))
+    assert trem.shape == x.shape
+    # exact formula: x * (1 - depth + depth*sin(2*pi*rate*t))
+    t = np.arange(len(x)) / sr
+    lfo = 1 - 0.8 + 0.8 * np.sin(2 * np.pi * 4.0 * t)
+    np.testing.assert_allclose(trem, x * lfo.astype(np.float32), atol=1e-5)
+
+
+def test_flanger_chorus_phaser_pitchshift_run():
+    sr = 8000
+    x = tone(sr=sr, seconds=0.2)
+    for out in (effects.apply_flanger(x, sr), effects.apply_chorus(x, sr),
+                effects.apply_phaser(x, sr),
+                effects.apply_pitch_shift(x, sr, semitones=3)):
+        out = np.asarray(out)
+        assert out.shape == x.shape and np.isfinite(out).all()
+
+
+def test_integrated_loudness_tracks_gain():
+    sr = 48000
+    x = tone(997, sr, 2.0, amp=0.25)
+    l1 = float(integrated_loudness(x, sr)[0])
+    l2 = float(integrated_loudness(2 * x, sr)[0])
+    assert 5.5 < l2 - l1 < 6.5  # +6 dB gain → +6 LU
+    normalized = np.asarray(normalize_loudness(x, sr, target_db=-24.0))
+    l3 = float(integrated_loudness(normalized, sr)[0])
+    assert abs(l3 + 24.0) < 1.0
+
+
+def test_audio_signal_roundtrip(tmp_path, rng):
+    sr = 16000
+    sig = AudioSignal(tone(sr=sr), sr)
+    assert sig.batch_size == 1 and sig.num_channels == 1
+    assert abs(sig.signal_duration - 0.5) < 1e-3
+    path = tmp_path / "tone.wav"
+    sig.write(path)
+    loaded = AudioSignal.load(path)
+    assert loaded.sample_rate == sr
+    np.testing.assert_allclose(np.asarray(loaded.audio_data),
+                               np.asarray(sig.audio_data), atol=2e-4)
+
+
+def test_audio_signal_dsp_methods():
+    sr = 16000
+    sig = AudioSignal(tone(sr=sr), sr)
+    spec = sig.stft()
+    assert spec.shape[-2] == sig.stft_params.window_length // 2 + 1
+    rec = sig.istft(spec)
+    np.testing.assert_allclose(np.asarray(rec.audio_data),
+                               np.asarray(sig.audio_data), atol=1e-4)
+    mel = sig.mel_spectrogram(n_mels=40)
+    assert mel.shape[-2] == 40
+    mono = AudioSignal(np.stack([tone(sr=sr), tone(660, sr)]), sr).to_mono()
+    assert mono.num_channels == 1
+    res = sig.resample(24000)
+    assert res.sample_rate == 24000
+    assert abs(res.signal_length - sig.signal_length * 1.5) < 4
+
+
+def test_audio_signal_batch_and_windows():
+    sr = 8000
+    s1 = AudioSignal(tone(sr=sr, seconds=0.5), sr)
+    s2 = AudioSignal(tone(sr=sr, seconds=0.3), sr)
+    batch = AudioSignal.batch([s1, s2])
+    assert batch.batch_size == 2
+    assert batch.signal_length == s1.signal_length
+    wins = list(s1.windows(0.1, 0.05))
+    assert len(wins) > 5
+    assert all(w.signal_length == int(0.1 * sr) for w in wins)
+
+
+def test_dac_file_roundtrip(tmp_path, rng):
+    from neuralcodecs_tpu.models.dac.config import DACConfig
+    from neuralcodecs_tpu.models.dac.dacfile import load_dac_file, save_dac_file
+
+    codes = [rng.integers(0, 1024, size=(1, 9, 50)).astype(np.int32)]
+    cfg = DACConfig()
+    path = tmp_path / "x.dac"
+    save_dac_file(path, codes, cfg)
+    loaded_codes, loaded_cfg = load_dac_file(path)
+    np.testing.assert_array_equal(loaded_codes[0], codes[0])
+    assert loaded_cfg.sample_rate == cfg.sample_rate
+    assert loaded_cfg.n_codebooks == cfg.n_codebooks
