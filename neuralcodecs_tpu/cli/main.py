@@ -1,0 +1,190 @@
+"""neuralcodecs CLI — codec round-trips, .ecdc compression, TTS, benchmarks.
+
+Counterpart of the reference's interactive examples app
+(NeuralCodecs.Torch.Examples/Program.cs:28-354: SNACEncodeDecode,
+DACEncodeDecode, EncodecEncodeDecode, CompressDecompress, DiaTTS), exposed
+as argparse subcommands:
+
+    python -m neuralcodecs_tpu.cli roundtrip --codec snac --input in.wav --output out.wav
+    python -m neuralcodecs_tpu.cli compress --input in.wav --output out.ecdc
+    python -m neuralcodecs_tpu.cli decompress --input out.ecdc --output rec.wav
+    python -m neuralcodecs_tpu.cli tts --text "[S1]Hello!" --output tts.wav
+    python -m neuralcodecs_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_codec(codec: str, model_path: str | None, preset: str | None):
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+    from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+
+    presets = {
+        "snac": {"24khz": SNACConfig.snac_24khz, "32khz": SNACConfig.snac_32khz,
+                 "44khz": SNACConfig.snac_44khz},
+        "dac": {"44khz": DACConfig.dac_44khz, "24khz": DACConfig.dac_24khz,
+                "16khz": DACConfig.dac_16khz},
+        "encodec": {"24khz": EncodecConfig.encodec_24khz,
+                    "48khz": EncodecConfig.encodec_48khz},
+    }
+    classes = {"snac": SNAC, "dac": DAC, "encodec": Encodec}
+    default_preset = {"snac": "24khz", "dac": "44khz", "encodec": "24khz"}
+    config = presets[codec][preset or default_preset[codec]]()
+    if model_path:
+        from neuralcodecs_tpu.core.loader import load_model
+
+        return load_model(codec, model_path, config)
+    print(f"note: no --model given; using randomly initialized {codec} "
+          f"({preset or default_preset[codec]})", file=sys.stderr)
+    return classes[codec](config)
+
+
+def cmd_roundtrip(args) -> int:
+    from neuralcodecs_tpu.cli.visualize import audio_stats, compare_spectrograms
+    from neuralcodecs_tpu.dsp.signal import AudioSignal
+
+    signal = AudioSignal.load(args.input).to_mono()
+    model = _load_codec(args.codec, args.model, args.preset)
+    audio = np.asarray(signal.audio_data[0, 0])
+
+    start = time.perf_counter()
+    out = model.process_audio(audio, signal.sample_rate)
+    elapsed = time.perf_counter() - start
+
+    sr = model.config.sample_rate
+    AudioSignal(out, sr).write(args.output)
+    print(json.dumps({
+        "input": audio_stats(audio, signal.sample_rate),
+        "output": audio_stats(out, sr),
+        "elapsed_s": elapsed,
+        "x_realtime": (len(out) / sr) / max(elapsed, 1e-9),
+    }, indent=2))
+    if args.spectrograms:
+        resampled_in = np.asarray(signal.resample(sr).audio_data[0, 0])
+        stats = compare_spectrograms(resampled_in, out, sr,
+                                     Path(args.output).parent)
+        print(json.dumps(stats, indent=2))
+    return 0
+
+
+def cmd_compress(args) -> int:
+    from neuralcodecs_tpu.dsp.signal import AudioSignal
+
+    model = _load_codec("encodec", args.model, args.preset)
+    signal = AudioSignal.load(args.input)
+    if args.bandwidth:
+        model.set_target_bandwidth(args.bandwidth)
+    audio = np.asarray(signal.resample(model.config.sample_rate)
+                       .audio_data[0])
+    if audio.shape[0] != model.config.channels:
+        audio = np.broadcast_to(audio.mean(0, keepdims=True),
+                                (model.config.channels, audio.shape[1]))
+    blob = model.compress(audio, use_lm=args.lm)
+    Path(args.output).write_bytes(blob)
+    raw_bytes = audio.size * 2
+    print(json.dumps({"bytes": len(blob), "ratio": raw_bytes / len(blob),
+                      "kbps": len(blob) * 8 / 1000
+                      / (audio.shape[-1] / model.config.sample_rate)}))
+    return 0
+
+
+def cmd_decompress(args) -> int:
+    from neuralcodecs_tpu.dsp.signal import AudioSignal
+
+    model = _load_codec("encodec", args.model, args.preset)
+    audio = np.asarray(model.decompress(Path(args.input).read_bytes()))
+    AudioSignal(audio[0], model.config.sample_rate).write(args.output)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_tts(args) -> int:
+    from neuralcodecs_tpu.dsp.signal import AudioSignal
+    from neuralcodecs_tpu.models.dia import Dia, DiaConfig
+
+    if args.model:
+        from neuralcodecs_tpu.core.loader import load_dia
+
+        model = load_dia(args.model)
+    else:
+        print("note: no --model given; using a randomly initialized Dia "
+              "(output will be noise)", file=sys.stderr)
+        model = Dia(DiaConfig())
+    if args.dac_model:
+        model.load_dac_model(args.dac_model)
+    else:
+        from neuralcodecs_tpu.models.dac import DAC, DACConfig
+
+        model.set_dac_model(DAC(DACConfig()))
+    audios = model.generate([args.text], max_tokens=args.max_tokens)
+    AudioSignal(audios[0], model.config.sample_rate).write(args.output)
+    print(f"wrote {args.output} ({len(audios[0]) / model.config.sample_rate:.2f}s)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="neuralcodecs", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    rt = sub.add_parser("roundtrip", help="encode+decode a WAV through a codec")
+    rt.add_argument("--codec", choices=["snac", "dac", "encodec"], default="snac")
+    rt.add_argument("--input", required=True)
+    rt.add_argument("--output", required=True)
+    rt.add_argument("--model", help="weights path or HF repo id")
+    rt.add_argument("--preset", help="e.g. 24khz / 44khz / 48khz")
+    rt.add_argument("--spectrograms", action="store_true",
+                    help="write before/after/diff spectrogram images")
+    rt.set_defaults(fn=cmd_roundtrip)
+
+    cp = sub.add_parser("compress", help="compress WAV to .ecdc")
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--model")
+    cp.add_argument("--preset")
+    cp.add_argument("--bandwidth", type=float)
+    cp.add_argument("--lm", action="store_true", help="use the LM entropy coder")
+    cp.set_defaults(fn=cmd_compress)
+
+    dc = sub.add_parser("decompress", help="decompress .ecdc to WAV")
+    dc.add_argument("--input", required=True)
+    dc.add_argument("--output", required=True)
+    dc.add_argument("--model")
+    dc.add_argument("--preset")
+    dc.set_defaults(fn=cmd_decompress)
+
+    tts = sub.add_parser("tts", help="Dia text-to-speech")
+    tts.add_argument("--text", required=True)
+    tts.add_argument("--output", required=True)
+    tts.add_argument("--model")
+    tts.add_argument("--dac-model")
+    tts.add_argument("--max-tokens", type=int, default=None)
+    tts.set_defaults(fn=cmd_tts)
+
+    be = sub.add_parser("bench", help="run the benchmark suite")
+    be.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

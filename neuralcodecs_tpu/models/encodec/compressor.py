@@ -65,18 +65,36 @@ def compress(model, audio, use_lm: bool = False, lm=None) -> bytes:
         codes_np = np.asarray(codes)[0]  # [K, T]
         k, t = codes_np.shape
         if use_lm:
-            coder = ArithmeticCoder(out)
+            # The pdf stream MUST be computed with the exact same op sequence
+            # the decoder will use (CDF quantization amplifies any numeric
+            # difference into a corrupted stream), so encode also walks the
+            # jitted LM step path. The entropy coding itself is batched: pdfs
+            # are accumulated and coded in ONE native range-coder call.
+            from neuralcodecs_tpu.models.encodec.entropy import (
+                build_stable_quantized_cdf_batch,
+            )
+            from neuralcodecs_tpu.native.entropy_native import encode_symbols
+
             state = lm.init_state(1)
             inp = np.zeros((1, k, 1), np.int64)
+            pdf_steps = []
             for step in range(t):
                 probas, state = lm.step(inp, state)
                 inp = codes_np[None, :, step: step + 1] + 1
-                probas_np = np.asarray(probas)[0, :, :, 0]  # [card, K]
-                for kk in range(k):
-                    cdf = build_stable_quantized_cdf(
-                        probas_np[:, kk], coder.total_range_bits)
-                    coder.push(int(codes_np[kk, step]), cdf)
-            coder.flush()
+                pdf_steps.append(np.asarray(probas)[0, :, :, 0].T)  # [K, card]
+            pdfs = np.concatenate(pdf_steps, axis=0)                # (t,k) order
+            cdfs = build_stable_quantized_cdf_batch(pdfs, 24)
+            symbols = codes_np.T.reshape(-1)                        # (t,k) order
+            payload = encode_symbols(cdfs, symbols, 24)
+            if model.segment_length is not None:
+                # chunked streams: length-prefix each frame payload. (The
+                # range decoder cannot know the encoder's flush-byte count,
+                # so back-to-back frame payloads are not self-delimiting —
+                # the reference's multi-frame+LM path shares this ambiguity.)
+                import struct
+
+                out.write(struct.pack(">I", len(payload)))
+            out.write(payload)
         else:
             packer = BitPacker(model.bits_per_codebook, out)
             # reference order: for t, for k (EncodecCompressor.cs:161-168)
@@ -113,20 +131,31 @@ def decompress(model, data: bytes, lm=None):
                                 jnp.float32).reshape(1, -1)
         codes_np = np.zeros((num_codebooks, frame_length), np.int64)
         if use_lm:
-            decoder = ArithmeticDecoder(stream)
+            from neuralcodecs_tpu.models.encodec.entropy import (
+                build_stable_quantized_cdf_batch,
+            )
+            from neuralcodecs_tpu.native.entropy_native import (
+                NativeArithmeticDecoder,
+            )
+
+            if model.segment_length is not None:
+                import struct
+
+                (payload_len,) = struct.unpack(">I", stream.read(4))
+                payload = stream.read(payload_len)
+            else:
+                payload = stream.read()
+            decoder = NativeArithmeticDecoder(payload, 24)
             state = lm.init_state(1)
             inp = np.zeros((1, num_codebooks, 1), np.int64)
             for step in range(frame_length):
                 probas, state = lm.step(inp, state)
-                probas_np = np.asarray(probas)[0, :, :, 0]
-                for kk in range(num_codebooks):
-                    cdf = build_stable_quantized_cdf(
-                        probas_np[:, kk], decoder.total_range_bits)
-                    symbol = decoder.pull(cdf)
-                    if symbol is None:
-                        raise CodecError("Stream ended too soon")
-                    codes_np[kk, step] = symbol
+                probas_np = np.asarray(probas)[0, :, :, 0]      # [card, K]
+                cdfs = build_stable_quantized_cdf_batch(probas_np.T, 24)
+                symbols = decoder.pull_many(cdfs)
+                codes_np[:, step] = symbols
                 inp = codes_np[None, :, step: step + 1] + 1
+            decoder.close()
         else:
             unpacker = BitUnpacker(model.bits_per_codebook, stream)
             for step in range(frame_length):

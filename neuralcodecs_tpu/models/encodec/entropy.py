@@ -103,6 +103,33 @@ def build_stable_quantized_cdf(
     return cdf
 
 
+def build_stable_quantized_cdf_batch(
+    pdfs: np.ndarray,
+    total_range_bits: int = 24,
+    roundoff: float = 1e-8,
+    min_range: int = 2,
+    check: bool = True,
+) -> np.ndarray:
+    """Vectorized CDF builder over [..., card] pdfs (same math as the scalar
+    version; one numpy pass instead of a Python loop per symbol)."""
+    pdfs = np.asarray(pdfs, np.float32)
+    if roundoff > 0:
+        pdfs = np.floor(pdfs / roundoff) * roundoff
+    total_range = 1 << total_range_bits
+    cardinality = pdfs.shape[-1]
+    alpha = min_range * cardinality / total_range
+    if alpha > 1:
+        raise ValueError(f"alpha ({alpha}) > 1: reduce min_range or raise bits")
+    ranges = np.floor(pdfs * ((1.0 - alpha) * total_range)).astype(np.int64) + min_range
+    cdfs = np.cumsum(ranges, axis=-1)
+    if check:
+        if (cdfs[..., -1] > total_range).any():
+            raise ValueError("CDF total exceeds range")
+        if (np.diff(cdfs, axis=-1) < min_range).any() or (cdfs[..., 0] < min_range).any():
+            raise ValueError("Ranges too small: raise bits or lower min_range")
+    return cdfs
+
+
 class ArithmeticCoder:
     """Range coder over quantized CDFs (ArithmeticCoder.cs:9-241)."""
 

@@ -120,3 +120,64 @@ def test_lm_step_matches_full(rng):
         step_out.append(np.asarray(probas)[..., 0])
     stepped = np.stack(step_out, axis=-1)
     np.testing.assert_allclose(stepped, full, rtol=2e-3, atol=1e-5)
+
+
+def test_native_entropy_matches_python(rng):
+    """C++ range coder must be bit-exact with the Python implementation."""
+    from neuralcodecs_tpu.native.entropy_native import (
+        NativeArithmeticDecoder,
+        available,
+        encode_symbols,
+    )
+    from neuralcodecs_tpu.models.encodec.entropy import (
+        build_stable_quantized_cdf_batch,
+    )
+
+    card, n = 32, 300
+    pdfs = rng.random((n, card)).astype(np.float32) + 1e-3
+    pdfs /= pdfs.sum(axis=1, keepdims=True)
+    symbols = rng.integers(0, card, size=n).astype(np.int32)
+    cdfs = build_stable_quantized_cdf_batch(pdfs, 24)
+
+    # python reference bytes
+    buf = io.BytesIO()
+    coder = ArithmeticCoder(buf)
+    for i in range(n):
+        coder.push(int(symbols[i]), cdfs[i])
+    coder.flush()
+    py_bytes = buf.getvalue()
+
+    native_bytes = encode_symbols(cdfs, symbols)
+    if available():
+        assert native_bytes == py_bytes, "native encoder must be byte-exact"
+    dec = NativeArithmeticDecoder(native_bytes)
+    got = dec.pull_many(cdfs)
+    np.testing.assert_array_equal(got, symbols)
+    dec.close()
+
+
+def test_cdf_batch_matches_scalar(rng):
+    from neuralcodecs_tpu.models.encodec.entropy import (
+        build_stable_quantized_cdf,
+        build_stable_quantized_cdf_batch,
+    )
+
+    pdfs = rng.random((7, 64)).astype(np.float32)
+    pdfs /= pdfs.sum(axis=1, keepdims=True)
+    batch = build_stable_quantized_cdf_batch(pdfs, 24)
+    for i in range(7):
+        np.testing.assert_array_equal(batch[i],
+                                      build_stable_quantized_cdf(pdfs[i], 24))
+
+
+def test_compress_roundtrip_lm_chunked(rng):
+    """Chunked (length-prefixed) LM compression round-trip."""
+    cfg = tiny_config(chunk_length_s=0.05, overlap=0.01,
+                      use_causal_conv=False)
+    model = Encodec(cfg)
+    lm = model.get_language_model(download=False)
+    audio = (0.3 * rng.standard_normal(1800)).astype(np.float32)
+    blob = model.compress(audio, use_lm=True, lm=lm)
+    out = np.asarray(model.decompress(blob, lm=lm))
+    direct = np.asarray(model.decode(model.encode(audio)))[..., :1800]
+    np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
