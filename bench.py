@@ -28,7 +28,7 @@ def main() -> None:
     model = SNAC(SNACConfig.snac_24khz())
     cfg = model.config
     seconds = 10.0
-    batch = 4  # per-chip serving batch; xRT counts total audio-seconds
+    batch = 1  # single-stream (B>1 gains little: the codec is HBM-bound per sample)
     n = int(cfg.sample_rate * seconds)
     rng = np.random.default_rng(0)
 

@@ -122,3 +122,28 @@ def test_l2_argmin_pallas_interpret_matches_xla(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(cb_mod.l2_argmin_pallas(x, cb))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_residual_unit_interpret_matches_reference(rng):
+    """Pallas fused residual unit (interpret mode) vs the composed jnp path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from neuralcodecs_tpu.ops.pallas.resunit import fused_residual_unit
+    from neuralcodecs_tpu.ops.snake import snake as snake_op
+
+    t, c, k, d = 256, 128, 7, 3
+    x = rng.standard_normal((1, t, c)).astype(np.float32) * 0.5
+    a1 = rng.standard_normal(c).astype(np.float32)
+    a2 = rng.standard_normal(c).astype(np.float32)
+    wd = (rng.standard_normal((k, 1, c)) * 0.1).astype(np.float32)
+    bd = (rng.standard_normal(c) * 0.1).astype(np.float32)
+    w1 = (rng.standard_normal((1, c, c)) * 0.1).astype(np.float32)
+    b1 = (rng.standard_normal(c) * 0.1).astype(np.float32)
+    pad = (k - 1) * d // 2
+    ref = x + np.asarray(conv1d(
+        snake_op(np.asarray(conv1d(snake_op(x, a1), wd, bd, padding=pad,
+                                   dilation=d, groups=c)), a2), w1, b1))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_residual_unit(
+            x, a1, wd, bd, a2, w1, b1, k=k, dilation=d, depthwise=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
