@@ -107,8 +107,10 @@ class DAC:
     """Public DAC codec (API mirrors Models/DAC.cs)."""
 
     def __init__(self, config: DACConfig | None = None, *,
-                 params: Params | None = None, seed: int = 0):
+                 params: Params | None = None, seed: int = 0,
+                 compute_dtype=None):
         self.config = config or DACConfig()
+        self.compute_dtype = compute_dtype or jnp.float32
         cfg = self.config
         self.hop_length = cfg.hop_length
         latent = cfg.resolved_latent_dim
@@ -198,7 +200,7 @@ class DAC:
         return z_q, codes_arr, latents_arr, commit_total, codebook_total
 
     def _encode_fn(self, params: Params, audio: jax.Array, n_quantizers: int | None):
-        z = self.encoder(params, audio)
+        z = self.encoder(params, audio.astype(self.compute_dtype))
         return self._rvq(params, z, n_quantizers)
 
     def _forward_fn(self, params: Params, audio: jax.Array, n_quantizers: int | None):
@@ -214,7 +216,7 @@ class DAC:
         }
 
     def _decode_fn(self, params: Params, z_q: jax.Array) -> jax.Array:
-        return self.decoder(params, z_q)
+        return self.decoder(params, z_q.astype(self.compute_dtype)).astype(jnp.float32)
 
     def _from_codes_fn(self, params: Params, codes: jax.Array) -> jax.Array:
         """codes: [B, Nq, T] -> z_q [B, T, C] (RVQ.FromCodes :211-297)."""

@@ -150,8 +150,12 @@ class SNAC:
     (Models/SNAC.cs: forward/Encode/Decode/ProcessAudio)."""
 
     def __init__(self, config: SNACConfig | None = None, *,
-                 params: Params | None = None, seed: int = 0):
+                 params: Params | None = None, seed: int = 0,
+                 compute_dtype=None):
         self.config = config or SNACConfig()
+        # bf16 compute halves HBM traffic (~2x speed) at ~47 dB SNR vs the
+        # f32 path; f32 is the default for the >60 dB parity gate.
+        self.compute_dtype = compute_dtype or jnp.float32
         cfg = self.config
         self.hop_length = cfg.hop_length
         latent = cfg.resolved_latent_dim
@@ -244,7 +248,7 @@ class SNAC:
 
     def _encode_fn(self, params: Params, audio: jax.Array) -> list[jax.Array]:
         """audio: [B, T, 1] already padded -> list of code arrays."""
-        z = self.encoder(params, audio)
+        z = self.encoder(params, audio.astype(self.compute_dtype))
         codes = []
         residual = z.astype(jnp.float32)
         for vq in self.quantizers:
@@ -262,7 +266,7 @@ class SNAC:
 
     def _run_decoder(self, params: Params, z_q: jax.Array,
                      rng: jax.Array | None) -> jax.Array:
-        x = z_q
+        x = z_q.astype(self.compute_dtype)
         for layer in self.decoder.layers:
             if isinstance(layer, _DecoderBlock):
                 sub = None
@@ -276,7 +280,7 @@ class SNAC:
     def _forward_fn(self, params: Params, audio: jax.Array,
                     rng: jax.Array | None) -> tuple[jax.Array, list[jax.Array]]:
         """Full round-trip on padded [B, T, 1] audio (Models/SNAC.cs:91-106)."""
-        z = self.encoder(params, audio)
+        z = self.encoder(params, audio.astype(self.compute_dtype))
         residual = z.astype(jnp.float32)
         z_q = jnp.zeros_like(residual)
         codes = []
@@ -285,7 +289,7 @@ class SNAC:
             residual = residual - z_q_i
             z_q = z_q + z_q_i
             codes.append(codes_i)
-        audio_hat = self._run_decoder(params, z_q, rng)
+        audio_hat = self._run_decoder(params, z_q, rng).astype(jnp.float32)
         return audio_hat, codes
 
     # ------------------------------------------------------------- public API

@@ -64,3 +64,34 @@ def shard_params(mesh: Mesh, params: dict[str, jax.Array]) -> dict[str, jax.Arra
     """Place parameters onto the mesh according to their shardings."""
     shardings = param_shardings(mesh, params)
     return {name: jax.device_put(arr, shardings[name]) for name, arr in params.items()}
+
+
+def dia_param_shardings(mesh: Mesh, params: dict[str, jax.Array],
+                        min_dim: int = 2) -> dict[str, NamedSharding]:
+    """Megatron-style specs for the Dia transformer's DenseGeneral kernels.
+
+    Attention q/k/v kernels [D, H, Dh] shard the head dim; o_proj [H, Dh, D]
+    reduces over heads (row-parallel — XLA inserts the psum); the gated MLP
+    shards the intermediate dim on wi_fused [D, 2, I] and reduces on
+    wo [I, D]. Embeddings/norms/logits stay replicated.
+    """
+    tp = mesh.shape.get("tp", 1)
+    out: dict[str, NamedSharding] = {}
+    for name, arr in params.items():
+        spec = P()
+        if tp > 1:
+            if name.endswith(("q_proj.weight", "k_proj.weight", "v_proj.weight")) \
+                    and arr.ndim == 3 and arr.shape[1] % tp == 0 \
+                    and arr.shape[1] >= min_dim:
+                spec = P(None, "tp", None)
+            elif name.endswith("o_proj.weight") and arr.ndim == 3 \
+                    and arr.shape[0] % tp == 0 and arr.shape[0] >= min_dim:
+                spec = P("tp", None, None)
+            elif name.endswith("wi_fused.weight") and arr.ndim == 3 \
+                    and arr.shape[2] % tp == 0:
+                spec = P(None, None, "tp")
+            elif name.endswith("wo.weight") and arr.ndim == 2 \
+                    and arr.shape[0] % tp == 0:
+                spec = P("tp", None)
+        out[name] = NamedSharding(mesh, spec)
+    return out
