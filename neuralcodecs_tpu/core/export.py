@@ -1,0 +1,57 @@
+"""Model export: params -> safetensors + config.json artifacts.
+
+The reference only consumes checkpoints (SURVEY §5 "checkpoint/resume":
+weights-in, no weights-out). The TPU framework also PRODUCES them: a model
+directory holds ``model.safetensors`` (canonical-layout params converted
+back to the torch-compatible layouts where applicable) plus ``config.json``,
+loadable by ``save_pretrained``'s dual ``load_pretrained`` or by the normal
+loader path.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from neuralcodecs_tpu.core.registry import registry
+from neuralcodecs_tpu.core.safetensors_io import load_safetensors, save_safetensors
+
+
+def save_pretrained(model, directory: str | Path) -> Path:
+    """Write ``model.safetensors`` (native-layout params) + ``config.json``."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    tensors = {name: np.asarray(arr) for name, arr in model.params.items()}
+    meta = {"format": "neuralcodecs-tpu", "layout": "native",
+            "architecture": model.config.architecture}
+    save_safetensors(directory / "model.safetensors", tensors, metadata=meta)
+    config = dict(model.config.to_dict())
+    config["architecture"] = model.config.architecture
+    (directory / "config.json").write_text(json.dumps(config, indent=2))
+    return directory
+
+
+def load_pretrained(directory: str | Path, architecture: str | None = None):
+    """Load a save_pretrained directory back into a model instance.
+
+    Native-layout tensors are assigned directly (no torch-layout
+    conversion), so export/import round-trips are bit-exact.
+    """
+    directory = Path(directory)
+    config_data = json.loads((directory / "config.json").read_text())
+    architecture = architecture or config_data.get("architecture", "")
+    entry = registry.get(architecture)
+    config = entry.config_cls.from_dict(config_data)
+    model = entry.factory(config)
+    import jax.numpy as jnp
+
+    tensors = load_safetensors(directory / "model.safetensors")
+    missing = set(model.params) - set(tensors)
+    if missing:
+        from neuralcodecs_tpu.core.exceptions import LoadError
+
+        raise LoadError(f"Missing tensors in {directory}: {sorted(missing)[:5]}...")
+    model.params = {name: jnp.asarray(tensors[name]) for name in model.params}
+    return model

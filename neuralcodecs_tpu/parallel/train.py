@@ -106,3 +106,107 @@ def make_train_step(
         return TrainState(params, opt_state, step), loss_val
 
     return init_fn, step_fn
+
+
+def make_gan_train_step(
+    model,
+    discriminator,
+    mesh: Mesh,
+    gen_optimizer: optax.GradientTransformation | None = None,
+    disc_optimizer: optax.GradientTransformation | None = None,
+    sample_rate: int | None = None,
+    adv_weight: float = 1.0,
+    feat_weight: float = 2.0,
+):
+    """Adversarial codec training (generator + discriminator), mesh-sharded.
+
+    Implements the descript-DAC recipe the reference's loss set describes
+    (GANLoss.cs + MelSpectrogramLoss.cs + the commitment/codebook weights in
+    DACConfig): alternating LS-GAN discriminator updates and generator
+    updates with reconstruction + adversarial + feature-matching terms.
+
+    Returns (init_fn, step_fn) where
+      step_fn((gen_state, disc_state), audio [B, T, 1])
+        -> ((gen_state, disc_state), {loss dict}).
+    """
+    from neuralcodecs_tpu.losses.gan import (
+        discriminator_loss,
+        feature_matching_loss,
+        generator_loss,
+    )
+
+    gen_optimizer = gen_optimizer or optax.adamw(1e-4, b1=0.8, b2=0.99)
+    disc_optimizer = disc_optimizer or optax.adamw(1e-4, b1=0.8, b2=0.99)
+    sample_rate = sample_rate or model.config.sample_rate
+    rep = replicated(mesh)
+    g_shardings = param_shardings(mesh, model.params)
+    d_shardings = param_shardings(mesh, discriminator.params)
+
+    def _fake(params: Params, audio: jax.Array) -> jax.Array:
+        return model._forward_fn(params, audio, None)["audio"][..., 0]
+
+    def _disc_loss(d_params: Params, fake: jax.Array, real: jax.Array):
+        fake_out = discriminator(d_params, jax.lax.stop_gradient(fake))
+        real_out = discriminator(d_params, real)
+        return discriminator_loss(fake_out, real_out)
+
+    def _gen_loss(g_params: Params, d_params: Params, audio: jax.Array):
+        out = model._forward_fn(g_params, audio, None)
+        fake = out["audio"][..., 0]
+        real = audio[..., 0]
+        fake_out = discriminator(d_params, fake)
+        real_out = discriminator(d_params, real)
+        recon = l1_loss(out["audio"], audio)
+        mel = mel_spectrogram_loss(fake, real, sample_rate,
+                                   n_mels=(80, 20), window_lengths=(512, 128))
+        adv = generator_loss(fake_out)
+        feat = feature_matching_loss(fake_out, real_out)
+        cfg = model.config
+        total = (recon + mel + adv_weight * adv + feat_weight * feat
+                 + cfg.commitment_loss_weight * out["vq/commitment_loss"]
+                 + cfg.codebook_loss_weight * out["vq/codebook_loss"])
+        return total, {"gen/total": total, "gen/mel": mel, "gen/adv": adv,
+                       "gen/feat": feat, "gen/recon": recon}
+
+    def _step(g_params, g_opt, d_params, d_opt, step, audio):
+        # discriminator update
+        fake = _fake(g_params, audio)
+        d_loss, d_grads = jax.value_and_grad(_disc_loss)(d_params, fake,
+                                                         audio[..., 0])
+        d_updates, d_opt = disc_optimizer.update(d_grads, d_opt, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
+        # generator update
+        (g_loss, metrics), g_grads = jax.value_and_grad(_gen_loss, has_aux=True)(
+            g_params, d_params, audio)
+        g_updates, g_opt = gen_optimizer.update(g_grads, g_opt, g_params)
+        g_params = optax.apply_updates(g_params, g_updates)
+        metrics["disc/total"] = d_loss
+        return g_params, g_opt, d_params, d_opt, step + 1, metrics
+
+    jit_step = jax.jit(
+        _step,
+        in_shardings=(g_shardings, None, d_shardings, None, rep,
+                      batch_sharding(mesh, 3)),
+        out_shardings=(g_shardings, None, d_shardings, None, rep, rep),
+        donate_argnums=(0, 1, 2, 3),
+    )
+
+    def init_fn():
+        g_params = shard_params(mesh, model.params)
+        d_params = shard_params(mesh, discriminator.params)
+        return (
+            TrainState(g_params, gen_optimizer.init(g_params),
+                       jnp.zeros((), jnp.int32)),
+            TrainState(d_params, disc_optimizer.init(d_params),
+                       jnp.zeros((), jnp.int32)),
+        )
+
+    def step_fn(states, audio: jax.Array):
+        gen_state, disc_state = states
+        g_params, g_opt, d_params, d_opt, step, metrics = jit_step(
+            gen_state.params, gen_state.opt_state, disc_state.params,
+            disc_state.opt_state, gen_state.step, audio)
+        return (TrainState(g_params, g_opt, step),
+                TrainState(d_params, d_opt, step)), metrics
+
+    return init_fn, step_fn
