@@ -2,6 +2,8 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: >500x realtime per TPU chip (BASELINE.json north star).
+``--all`` additionally benchmarks DAC-44k and Encodec-24k round-trips and
+the bf16 SNAC fast path (one JSON line each, after the primary line).
 
 Timing methodology: the axon remote-TPU platform's block_until_ready returns
 before device work completes, so the only honest clock is a host fetch of a
@@ -19,54 +21,114 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def _bench_forward(forward_fn, params, a, seconds: float, iters: int = 10,
+                   repeats: int = 3, needs_key: bool = True) -> float:
+    """Best-of xRT for a jittable forward, RTT-safe (chained fori_loop with
+    input perturbed by the accumulator so XLA cannot hoist the body; one
+    scalar fetch per repeat)."""
     import jax
     import jax.numpy as jnp
 
-    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
-
-    model = SNAC(SNACConfig.snac_24khz())
-    cfg = model.config
-    seconds = 10.0
-    batch = 1  # single-stream (B>1 gains little: the codec is HBM-bound per sample)
-    n = int(cfg.sample_rate * seconds)
-    rng = np.random.default_rng(0)
-
-    padded = -(-n // cfg.pad_to) * cfg.pad_to
-    a = np.zeros((batch, padded, 1), np.float32)
-    a[:, :n, 0] = 0.25 * rng.standard_normal((batch, n))
-    a = jax.device_put(a)
     key = jax.random.key(0)
-
-    iters = 10
 
     @jax.jit
     def chained(params, a, key):
         def body(i, carry):
             acc, key = carry
             key, sub = jax.random.split(key)
-            out, _ = model._forward_fn(params, a * (1.0 + 1e-12 * acc), sub)
-            return acc + jnp.sum(jnp.abs(out)), key
+            out = forward_fn(params, a * (1.0 + 1e-12 * acc),
+                             sub if needs_key else None)
+            return acc + jnp.sum(jnp.abs(out).astype(jnp.float32)), key
 
         acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.zeros(()), key))
         return acc
 
-    # warmup / compile (fetch forces completion)
-    float(chained(model.params, a, key))
-
+    float(chained(params, a, key))  # compile + warmup
     best = float("inf")
-    for _ in range(3):
+    for _ in range(repeats):
         start = time.perf_counter()
-        float(chained(model.params, a, key))
+        float(chained(params, a, key))
         best = min(best, time.perf_counter() - start)
+    return seconds * a.shape[0] * iters / best
 
-    xrt = seconds * batch * iters / best
+
+def _emit(metric: str, xrt: float) -> None:
     print(json.dumps({
-        "metric": "snac24_roundtrip_xRT",
+        "metric": metric,
         "value": round(xrt, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / 500.0, 3),
     }))
+
+
+def bench_snac(compute_dtype=None) -> float:
+    import jax
+
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+
+    model = SNAC(SNACConfig.snac_24khz(), compute_dtype=compute_dtype)
+    cfg = model.config
+    seconds = 10.0
+    n = int(cfg.sample_rate * seconds)
+    rng = np.random.default_rng(0)
+    padded = -(-n // cfg.pad_to) * cfg.pad_to
+    a = np.zeros((1, padded, 1), np.float32)
+    a[:, :n, 0] = 0.25 * rng.standard_normal(n)
+    a = jax.device_put(a)
+    return _bench_forward(lambda p, x, k: model._forward_fn(p, x, k)[0],
+                          model.params, a, seconds)
+
+
+def bench_dac() -> float:
+    import jax
+
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+
+    model = DAC(DACConfig.dac_44khz())
+    cfg = model.config
+    seconds = 10.0
+    n = int(cfg.sample_rate * seconds)
+    rng = np.random.default_rng(0)
+    padded = -(-n // cfg.hop_length) * cfg.hop_length
+    a = np.zeros((1, padded, 1), np.float32)
+    a[:, :n, 0] = 0.25 * rng.standard_normal(n)
+    a = jax.device_put(a)
+    return _bench_forward(
+        lambda p, x, k: model._forward_fn(p, x, None)["audio"],
+        model.params, a, seconds, iters=5, needs_key=False)
+
+
+def bench_encodec() -> float:
+    import jax
+
+    from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
+
+    model = Encodec(EncodecConfig.encodec_24khz())
+    seconds = 10.0
+    n = int(model.config.sample_rate * seconds)
+    rng = np.random.default_rng(0)
+    a = jax.device_put(0.25 * rng.standard_normal((1, n, 1)).astype(np.float32))
+    n_q = model.quantizer.num_quantizers_for_bandwidth(model.frame_rate, 6.0)
+
+    def fwd(params, x, _key):
+        codes, _ = (lambda emb: (model.quantizer.encode(params, emb, n_q), None))(
+            model.encoder(params, x))
+        emb = model.quantizer.decode(params, codes)
+        return model.decoder(params, emb)
+
+    return _bench_forward(fwd, model.params, a, seconds, iters=5,
+                          needs_key=False)
+
+
+def main() -> None:
+    import sys
+
+    xrt = bench_snac()
+    _emit("snac24_roundtrip_xRT", xrt)
+    if "--all" in sys.argv:
+        _emit("snac24_bf16_roundtrip_xRT", bench_snac(compute_dtype="bfloat16"))
+        _emit("dac44_roundtrip_xRT", bench_dac())
+        _emit("encodec24_roundtrip_xRT", bench_encodec())
 
 
 if __name__ == "__main__":

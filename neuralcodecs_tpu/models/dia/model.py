@@ -395,7 +395,7 @@ class Dia:
                        cfg_scale: float | None = None, temperature: float | None = None,
                        top_p: float | None = None, top_k: int | None = None,
                        audio_prompts: Sequence[np.ndarray] | None = None,
-                       seed: int = 0):
+                       seed: int = 0, verbose: bool = False):
         """Generate delay-reverted DAC codes per batch item.
 
         Returns (codes [B, L, C] int32 in [0, 1023], lengths [B]).
@@ -424,6 +424,9 @@ class Dia:
         delayed = apply_audio_delay(jnp.asarray(prefill), -1,
                                     data.audio_bos_value, data.delay_pattern)
 
+        import time as _time
+
+        start_time = _time.perf_counter()
         generated, finished, lengths = self._generate_jit(
             self.params, jnp.asarray(text_arr), delayed,
             jnp.asarray(prefill_steps), jax.random.key(seed),
@@ -433,8 +436,18 @@ class Dia:
             top_p=float(cfg.top_p if top_p is None else top_p),
             cfg_scale=float(cfg.cfg_scale if cfg_scale is None else cfg_scale))
 
-        generated = np.asarray(generated)
+        generated = np.asarray(generated)       # forces completion
         lengths = np.asarray(lengths)
+        finished = np.asarray(finished)
+        if verbose:
+            # tokens/s + realtime factor reporting (Models/Dia.cs:758-812;
+            # 86 tokens = 1 s of audio)
+            elapsed = _time.perf_counter() - start_time
+            steps = int(finished.max()) if finished.size else 0
+            if elapsed > 0 and steps > 0:
+                print(f"generate: {steps} steps in {elapsed:.2f}s = "
+                      f"{steps * len(texts) / elapsed:.1f} tokens/s, "
+                      f"realtime factor {steps / 86.0 / elapsed:.2f}x")
         # extract + revert delay (Dia.Generate :764-795, GenerateOutput :1010-1045)
         max_len = int(lengths.max()) + max_delay if b else 0
         codes_batch = np.full((b, max(max_len, 1), data.channels),

@@ -57,6 +57,42 @@ def pad1d(x: jax.Array, left: int, right: int, mode: str = "reflect") -> jax.Arr
     return jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode=mode)
 
 
+class ConvLayerNorm(Layer):
+    """Channel-last layer norm for conv layouts (ConvLayerNorm.cs:11) —
+    trivial in our [B, T, C] world: a plain LN over the channel axis."""
+
+    def __init__(self, prefix: str, channels: int, eps: float = 1e-5):
+        self.prefix = prefix
+        self.channels = channels
+        self.eps = eps
+
+    def init(self, key, params: Params) -> None:
+        params[f"{self.prefix}.weight"] = jnp.ones((self.channels,), jnp.float32)
+        params[f"{self.prefix}.bias"] = jnp.zeros((self.channels,), jnp.float32)
+
+    def convert(self, sd: StateDict, params: Params) -> None:
+        params[f"{self.prefix}.weight"] = jnp.asarray(_require(sd, f"{self.prefix}.weight"))
+        params[f"{self.prefix}.bias"] = jnp.asarray(_require(sd, f"{self.prefix}.bias"))
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        h = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return h * params[f"{self.prefix}.weight"] + params[f"{self.prefix}.bias"]
+
+
+def _make_norm(prefix: str, norm_type: str, channels: int):
+    """Norm dispatch (NormConv1d.cs:35-120): weight_norm is folded at import
+    (no runtime module); time_group_norm / layer_norm wrap the conv."""
+    if norm_type == "time_group_norm":
+        return GroupNorm1(prefix, channels)
+    if norm_type == "layer_norm":
+        return ConvLayerNorm(prefix, channels)
+    if norm_type in ("weight_norm", "none", ""):
+        return None
+    raise ValueError(f"Unsupported norm type: {norm_type}")
+
+
 class GroupNorm1(Layer):
     """GroupNorm(1, C) over (T, C) per sample — Encodec's time_group_norm
     (NormConv1d.cs:35-120)."""
@@ -99,7 +135,7 @@ class SConv1d(Layer):
         self.has_bias = bias
         self.causal = causal
         self.pad_mode = pad_mode
-        self.norm = GroupNorm1(f"{prefix}.norm", cout) if norm_type == "time_group_norm" else None
+        self.norm = _make_norm(f"{prefix}.norm", norm_type, cout)
 
     def init(self, key, params: Params) -> None:
         kw, kb = jax.random.split(key)
@@ -154,7 +190,7 @@ class SConvTranspose1d(Layer):
         self.causal = causal
         self.trim_right_ratio = trim_right_ratio
         self.pad_total = k - stride
-        self.norm = GroupNorm1(f"{prefix}.norm", cout) if norm_type == "time_group_norm" else None
+        self.norm = _make_norm(f"{prefix}.norm", norm_type, cout)
 
     def init(self, key, params: Params) -> None:
         kw, kb = jax.random.split(key)

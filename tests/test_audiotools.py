@@ -161,3 +161,47 @@ def test_dac_file_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(loaded_codes[0], codes[0])
     assert loaded_cfg.sample_rate == cfg.sample_rate
     assert loaded_cfg.n_codebooks == cfg.n_codebooks
+
+
+def test_pcm_conversions(rng):
+    from neuralcodecs_tpu.dsp import audio_utils as au
+
+    x = (rng.standard_normal(500) * 0.5).astype(np.float32)
+    pcm = au.float_to_pcm16(x)
+    back = au.pcm16_to_float(pcm)
+    np.testing.assert_allclose(back, np.clip(x, -1, 1), atol=1e-4)
+    stereo = rng.standard_normal((2, 100)).astype(np.float32)
+    inter = au.interleave(stereo)
+    np.testing.assert_array_equal(au.deinterleave(inter, 2), stereo)
+    assert au.to_mono(stereo).shape == (100,)
+    np.testing.assert_allclose(au.db_to_linear(au.linear_to_db(0.5)), 0.5,
+                               rtol=1e-6)
+
+
+def test_spec_masking(rng):
+    import jax
+
+    from neuralcodecs_tpu.dsp.audio_utils import mask_frequency, mask_time
+
+    spec = np.abs(rng.standard_normal((40, 100))).astype(np.float32) + 0.1
+    out_t = np.asarray(mask_time(spec, jax.random.key(0), max_width=10))
+    out_f = np.asarray(mask_frequency(spec, jax.random.key(1), max_width=5))
+    assert (out_t == 0).any(axis=0).sum() >= 1    # some time column zeroed
+    assert (out_f == 0).all(axis=1).sum() >= 1    # some freq row zeroed
+
+
+def test_conv_layer_norm_encodec():
+    """layer_norm norm-type wires through the SEANet conv stack."""
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.models.encodec.seanet import SConv1d
+
+    layer = SConv1d("c", 4, 8, 3, norm_type="layer_norm")
+    params = {}
+    import jax
+
+    layer.init(jax.random.key(0), params)
+    assert "c.norm.weight" in params
+    out = layer(params, jnp.ones((1, 32, 4)))
+    assert out.shape[2] == 8
+    assert np.isfinite(np.asarray(out)).all()
