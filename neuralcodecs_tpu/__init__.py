@@ -31,6 +31,9 @@ from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
 from neuralcodecs_tpu.models.dac import DAC, DACConfig
 from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
 from neuralcodecs_tpu.models.dia import Dia, DiaConfig
+from neuralcodecs_tpu.core.export import load_pretrained, save_pretrained
+from neuralcodecs_tpu.core.zoo import load_zoo_model, zoo_models
+from neuralcodecs_tpu.dsp.signal import AudioSignal
 
 __all__ = [
     "ModelRegistry",
@@ -49,4 +52,9 @@ __all__ = [
     "EncodecConfig",
     "Dia",
     "DiaConfig",
+    "load_pretrained",
+    "save_pretrained",
+    "load_zoo_model",
+    "zoo_models",
+    "AudioSignal",
 ]

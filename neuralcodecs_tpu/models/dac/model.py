@@ -277,6 +277,21 @@ class DAC:
         z_q = self._jit_from_codes(self.params, codes)
         return self._jit_decode(self.params, z_q)[:, :, 0]
 
+    def encode_to_file(self, audio, path) -> None:
+        """Encode audio and persist the codes as a .dac artifact
+        (counterpart of the reference's DACFile workflow)."""
+        from neuralcodecs_tpu.models.dac.dacfile import save_dac_file
+
+        _, codes, _, _, _ = self.encode(audio)
+        save_dac_file(path, [np.asarray(codes)], self.config)
+
+    def decode_from_file(self, path) -> jax.Array:
+        """Decode audio from a .dac artifact."""
+        from neuralcodecs_tpu.models.dac.dacfile import load_dac_file
+
+        codes, _ = load_dac_file(path)
+        return self.from_codes(codes[0])
+
     def process_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
         audio = np.asarray(audio, dtype=np.float32)
         if sample_rate != self.config.sample_rate:
