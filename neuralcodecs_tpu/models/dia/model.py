@@ -499,6 +499,23 @@ class Dia:
 
     # -------------------------------------------------------------- DAC bridge
 
+    def load_audio_prompt(self, path) -> np.ndarray:
+        """Load a voice-clone prompt WAV and encode it to delay-channel codes
+        (counterpart of Dia.LoadAudio + DAC.Encode, Models/Dia.cs:827-877).
+
+        Returns [T_codes, C] int codes suitable for ``generate_codes``'s
+        ``audio_prompts`` argument."""
+        if self.dac is None:
+            raise RuntimeError("load_audio_prompt requires an attached DAC model")
+        from neuralcodecs_tpu.dsp.signal import AudioSignal
+
+        signal = AudioSignal.load(path).to_mono().resample(
+            self.dac.config.sample_rate)
+        audio = np.asarray(signal.audio_data[0, 0])
+        _, codes, _, _, _ = self.dac.encode(audio,
+                                            n_quantizers=self.config.data.channels)
+        return np.asarray(codes)[0].T  # [T, C]
+
     def set_dac_model(self, dac) -> None:
         self.dac = dac
 
