@@ -126,9 +126,10 @@ def main() -> None:
     xrt = bench_snac()
     _emit("snac24_roundtrip_xRT", xrt)
     if "--all" in sys.argv:
-        _emit("snac24_bf16_roundtrip_xRT", bench_snac(compute_dtype="bfloat16"))
         _emit("dac44_roundtrip_xRT", bench_dac())
         _emit("encodec24_roundtrip_xRT", bench_encodec())
+    if "--bf16" in sys.argv:  # separate flag: the remote bf16 compile is slow
+        _emit("snac24_bf16_roundtrip_xRT", bench_snac(compute_dtype="bfloat16"))
 
 
 if __name__ == "__main__":
