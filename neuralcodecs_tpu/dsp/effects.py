@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from neuralcodecs_tpu.dsp.filters import (
     allpass_filter,
-    biquad,
     comb_filter,
     fir_filter,
     one_pole_follower,

@@ -8,7 +8,7 @@ with the final element being the logits (the reference's Tensor[] contract).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -21,11 +21,8 @@ import jax.numpy as jnp
 from neuralcodecs_tpu.core.exceptions import CodecError
 from neuralcodecs_tpu.models.encodec import ecdc
 from neuralcodecs_tpu.models.encodec.entropy import (
-    ArithmeticCoder,
-    ArithmeticDecoder,
     BitPacker,
     BitUnpacker,
-    build_stable_quantized_cdf,
 )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import queue
 import threading
 from pathlib import Path
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import numpy as np
 
