@@ -120,6 +120,27 @@ def bench_encodec() -> float:
                           needs_key=False)
 
 
+def bench_dia() -> float:
+    """Full-size Dia 1.6B decode throughput in tokens/s (bf16 compute).
+
+    The reference's one published benchmark: ~40 tokens/s on an RTX 3090
+    (README.md:334-338). 86 tokens = 1 s of audio."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.models.dia import Dia, DiaConfig
+
+    model = Dia(DiaConfig(), compute_dtype=jnp.bfloat16)
+    text = ["[S1]This is the benchmark sentence for the decoder loop."]
+    model.generate_codes(text, max_tokens=128, seed=0)  # compile + warmup
+    start = _time.perf_counter()
+    _codes, _lengths = model.generate_codes(text, max_tokens=128, seed=1)
+    elapsed = _time.perf_counter() - start
+    steps = 128 - max(model.config.data.delay_pattern)
+    return steps / elapsed
+
+
 def main() -> None:
     import sys
 
@@ -130,6 +151,14 @@ def main() -> None:
         _emit("encodec24_roundtrip_xRT", bench_encodec())
     if "--bf16" in sys.argv:  # separate flag: the remote bf16 compile is slow
         _emit("snac24_bf16_roundtrip_xRT", bench_snac(compute_dtype="bfloat16"))
+    if "--dia" in sys.argv:
+        tok_s = bench_dia()
+        print(json.dumps({
+            "metric": "dia_1.6b_decode_tokens_per_s",
+            "value": round(tok_s, 1),
+            "unit": "tokens/s",
+            "vs_baseline": round(tok_s / 40.0, 2),  # reference: 40 tok/s, RTX 3090
+        }))
 
 
 if __name__ == "__main__":

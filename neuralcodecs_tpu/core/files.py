@@ -92,3 +92,11 @@ def file_sha256(path: str | Path, chunk_size: int = 1 << 20) -> str:
                 break
             sha.update(chunk)
     return sha.hexdigest()
+
+
+def wildcard_match(pattern: str, name: str) -> bool:
+    """Case-insensitive * / ? wildcard matching
+    (counterpart of Core/Utils/WildcardPattern.cs:9)."""
+    import fnmatch
+
+    return fnmatch.fnmatch(name.lower(), pattern.lower())

@@ -464,12 +464,18 @@ class Dia:
         reverted = np.where(invalid, 0, reverted)
         return reverted.astype(np.int32), lengths
 
-    def generate(self, texts: Sequence[str], **kwargs) -> list[np.ndarray]:
+    def generate(self, texts: Sequence[str],
+                 audio_prompt_paths: Sequence[str] | None = None,
+                 **kwargs) -> list[np.ndarray]:
         """Full TTS: text -> waveforms via the DAC vocoder
-        (Dia.Generate + GenerateOutput)."""
+        (Dia.Generate + GenerateOutput). ``audio_prompt_paths`` are WAV
+        voice-clone prompts, DAC-encoded on the fly (Dia.LoadAudioPrompts)."""
         if self.dac is None:
             raise RuntimeError(
                 "No DAC vocoder attached; call load_dac_model()/set_dac_model()")
+        if audio_prompt_paths:
+            prompts = [self.load_audio_prompt(p) for p in audio_prompt_paths]
+            kwargs.setdefault("audio_prompts", prompts)
         codes, lengths = self.generate_codes(texts, **kwargs)
         audios = []
         for i in range(codes.shape[0]):

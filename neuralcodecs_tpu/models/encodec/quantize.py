@@ -23,6 +23,15 @@ from neuralcodecs_tpu.models.layers import Layer, Params, StateDict, _require
 from neuralcodecs_tpu.ops.vq import codebook_lookup, l2_argmin_codes
 
 
+class QuantizedResult(NamedTuple):
+    """Quantize-with-bandwidth output (counterpart of QuantizedResult.cs)."""
+
+    quantized: jax.Array   # [B, T, D]
+    codes: jax.Array       # [B, n_q, T]
+    bandwidth: jax.Array   # [B] kbps actually used
+    penalty: jax.Array     # mean commitment loss
+
+
 class CodebookState(NamedTuple):
     """EMA codebook training state (embed is the inference parameter)."""
 
@@ -95,6 +104,19 @@ class EuclideanCodebook(Layer):
         return CodebookState(embed=embed, embed_avg=embed_avg,
                              cluster_size=cluster_size, inited=state.inited)
 
+    def expire_codes(self, key: jax.Array, state: CodebookState,
+                     batch_samples: jax.Array) -> CodebookState:
+        """Replace dead codes (EMA cluster size < threshold) with random
+        batch samples (EuclideanCodebook.ExpireCodes :253-270), as a pure
+        jit-able update."""
+        if self.threshold == 0:
+            return state
+        flat = batch_samples.reshape(-1, batch_samples.shape[-1])
+        replacements = sample_vectors(key, flat, self.codebook_size)
+        expired = state.cluster_size < self.threshold
+        embed = jnp.where(expired[:, None], replacements, state.embed)
+        return state._replace(embed=embed)
+
     def state_from_params(self, params: Params) -> CodebookState:
         return CodebookState(
             embed=params[f"{self.prefix}.embed"],
@@ -108,6 +130,21 @@ class EuclideanCodebook(Layer):
         params[f"{self.prefix}.embed_avg"] = state.embed_avg
         params[f"{self.prefix}.cluster_size"] = state.cluster_size
         params[f"{self.prefix}.inited"] = state.inited
+
+
+def uniform_init(key: jax.Array, shape: tuple[int, ...],
+                 scale: float | None = None) -> jax.Array:
+    """Kaiming-uniform-flavored codebook init (VQUtils.UniformInit)."""
+    bound = scale if scale is not None else 1.0 / math.sqrt(shape[0])
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def sample_vectors(key: jax.Array, samples: jax.Array, num: int) -> jax.Array:
+    """Sample `num` rows (with replacement if fewer available)
+    (VQUtils.SampleVectors)."""
+    n = samples.shape[0]
+    idx = jax.random.randint(key, (num,), 0, n)
+    return jnp.take(samples, idx, axis=0)
 
 
 def kmeans(key: jax.Array, samples: jax.Array, num_clusters: int,
@@ -231,6 +268,18 @@ class ResidualVectorQuantizer(Layer):
         for i in range(1, n_q):
             out = out + self.layers[i].decode(params, codes[:, i])
         return out
+
+    def quantize_with_bandwidth(self, params: Params, x: jax.Array,
+                                frame_rate: float,
+                                bandwidth: float | None = None) -> QuantizedResult:
+        """Bandwidth-targeted quantization
+        (RVQ.QuantizeWithBandwidth, ResidualVectorQuantizer.cs:210-233)."""
+        n_q = self.num_quantizers_for_bandwidth(frame_rate, bandwidth)
+        quantized, codes, losses = self.forward(params, x, n_q)
+        bw_per_q = self.bandwidth_per_quantizer(frame_rate) / 1000.0
+        bw = jnp.full((x.shape[0],), n_q * bw_per_q, jnp.float32)
+        return QuantizedResult(quantized=quantized, codes=codes, bandwidth=bw,
+                               penalty=jnp.mean(losses))
 
     def forward(self, params: Params, x: jax.Array, n_q: int | None = None):
         """Training-path forward: (quantized, codes [B,n_q,T], losses [n_q])."""

@@ -147,3 +147,31 @@ def test_linear_overlap_add_reconstructs_constant():
     out = np.asarray(linear_overlap_add(frames, stride=60))
     assert out.shape == (1, 1, 60 * 3 + 100)
     np.testing.assert_allclose(out, 1.0, rtol=1e-5)
+
+
+def test_quantize_with_bandwidth_and_expiry(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.models.encodec.quantize import (
+        ResidualVectorQuantizer, sample_vectors, uniform_init)
+
+    rvq = ResidualVectorQuantizer("q", dim=8, num_quantizers=4, codebook_size=16)
+    params = {}
+    rvq.init(jax.random.key(0), params)
+    x = jnp.asarray(rng.standard_normal((2, 10, 8)), jnp.float32)
+    result = rvq.quantize_with_bandwidth(params, x, frame_rate=50.0,
+                                         bandwidth=0.4)
+    # 0.4 kbps / (log2(16)*50/1000 kbps per q) = 2 quantizers
+    assert result.codes.shape == (2, 2, 10)
+    assert np.allclose(np.asarray(result.bandwidth), 0.4)
+    assert np.isfinite(float(result.penalty))
+
+    # dead-code expiry replaces low-usage codes
+    cb = rvq.layers[0].codebook
+    state = cb.state_from_params(params)
+    state = state._replace(cluster_size=jnp.zeros(16))  # everything dead
+    new_state = cb.expire_codes(jax.random.key(1), state, x)
+    assert not np.allclose(np.asarray(new_state.embed), np.asarray(state.embed))
+    assert sample_vectors(jax.random.key(2), x.reshape(-1, 8), 5).shape == (5, 8)
+    assert uniform_init(jax.random.key(3), (16, 8)).shape == (16, 8)
