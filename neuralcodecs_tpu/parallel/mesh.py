@@ -45,3 +45,21 @@ def mesh_axes_for(n_devices: int, model_scale: str = "codec") -> tuple[int, int,
     if model_scale == "tts" and n_devices >= 2:
         return n_devices // 2, 2, 1
     return n_devices, 1, 1
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host initialization (DCN across slices, SURVEY §2.8/§5).
+
+    Thin wrapper over jax.distributed.initialize; no-ops when already
+    initialized or when running single-process.
+    """
+    if num_processes in (None, 1):
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
