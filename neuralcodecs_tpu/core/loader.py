@@ -83,6 +83,16 @@ class ModelLoader(EventEmitter):
             raise LoadError(f"Cached model for {source} has no weight file")
         return weight_files[0]
 
+    @staticmethod
+    def _is_native_export(weights_path: Path) -> bool:
+        if weights_path.suffix != ".safetensors":
+            return False
+        from neuralcodecs_tpu.core.safetensors_io import read_safetensors_metadata
+
+        meta = read_safetensors_metadata(weights_path)
+        return meta.get("format") == "neuralcodecs-tpu" and \
+            meta.get("layout") == "native"
+
     # -- config discovery ----------------------------------------------------
 
     @staticmethod
@@ -132,9 +142,23 @@ class ModelLoader(EventEmitter):
             config = entry.config_cls.from_dict(config)
 
         self.emit_progress(LoadProgress(source, "weights", 0.0, str(weights_path)))
-        state_dict = import_checkpoint(weights_path)
         model = entry.factory(config, **model_kwargs)
-        model = model.load_state_dict(state_dict)
+        if self._is_native_export(weights_path):
+            # our own save_pretrained artifact: canonical layouts, assign
+            # directly (bit-exact round-trip, no torch-layout conversion)
+            import jax.numpy as jnp
+
+            from neuralcodecs_tpu.core.safetensors_io import load_safetensors
+
+            tensors = load_safetensors(weights_path)
+            missing = set(model.params) - set(tensors)
+            if missing:
+                raise LoadError(
+                    f"Native checkpoint missing tensors: {sorted(missing)[:5]}")
+            model.params = {k: jnp.asarray(tensors[k]) for k in model.params}
+        else:
+            state_dict = import_checkpoint(weights_path)
+            model = model.load_state_dict(state_dict)
         self.emit_progress(LoadProgress(source, "weights", 1.0, "loaded"))
 
         if options.validate:

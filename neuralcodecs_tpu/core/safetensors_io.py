@@ -52,6 +52,21 @@ def _bf16_to_f32(raw: np.ndarray) -> np.ndarray:
     return u32.view(np.float32)
 
 
+def read_safetensors_metadata(path: str | Path) -> dict[str, str]:
+    """Read only the __metadata__ block of a safetensors file."""
+    with open(path, "rb") as f:
+        header_len_bytes = f.read(8)
+        if len(header_len_bytes) != 8:
+            return {}
+        (header_len,) = struct.unpack("<Q", header_len_bytes)
+        try:
+            header = json.loads(f.read(header_len))
+        except json.JSONDecodeError:
+            return {}
+    meta = header.get("__metadata__", {})
+    return meta if isinstance(meta, dict) else {}
+
+
 def load_safetensors(path: str | Path) -> dict[str, np.ndarray]:
     """Read all tensors from a .safetensors file as numpy arrays.
 
