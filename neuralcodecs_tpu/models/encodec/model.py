@@ -183,20 +183,37 @@ class Encodec:
         return jnp.swapaxes(a, 1, 2)
 
     def encode(self, audio) -> list[EncodedFrame]:
-        """Audio -> encoded frames (chunk loop, Models/Encodec.cs:259-285)."""
+        """Audio -> encoded frames (chunking per Models/Encodec.cs:259-285).
+
+        TPU optimization over the reference's sequential chunk loop: all
+        full-length chunks are stacked into ONE batched device call (chunks
+        are independent — per-frame normalization included); only a final
+        partial chunk takes a second call."""
         x = self._prepare(audio)
-        length = x.shape[1]
+        batch, length, channels = x.shape
         segment = self.segment_length or length
         stride = self.segment_stride or length
         n_q = self.quantizer.num_quantizers_for_bandwidth(self.frame_rate,
                                                           self.bandwidth)
-        frames = []
         fn = self._encode_frame_fn(n_q, self.config.normalize)
-        for offset in range(0, length, stride):
-            chunk = x[:, offset: min(offset + segment, length), :]
+        offsets = list(range(0, length, stride))
+        full = [o for o in offsets if o + segment <= length]
+        partial = [o for o in offsets if o + segment > length]
+
+        frames: dict[int, EncodedFrame] = {}
+        if full:
+            stacked = jnp.concatenate(
+                [x[:, o: o + segment, :] for o in full], axis=0)
+            codes, scale = fn(self.params, stacked)
+            for i, offset in enumerate(full):
+                sl = slice(i * batch, (i + 1) * batch)
+                frames[offset] = EncodedFrame(
+                    codes[sl], None if scale is None else scale[sl])
+        for offset in partial:
+            chunk = x[:, offset: length, :]
             codes, scale = fn(self.params, chunk)
-            frames.append(EncodedFrame(codes, scale))
-        return frames
+            frames[offset] = EncodedFrame(codes, scale)
+        return [frames[o] for o in offsets]
 
     def decode(self, frames: Sequence[EncodedFrame]) -> jax.Array:
         """Encoded frames -> audio [B, C, T] (Models/Encodec.cs:213-235)."""
@@ -207,10 +224,21 @@ class Encodec:
                 raise CodecError("Expected single frame when no segmentation is used")
             out = self._decode_frame_fn(self.params, frames[0].codes, frames[0].scale)
             return jnp.swapaxes(out, 1, 2)
-        decoded = [
-            jnp.swapaxes(self._decode_frame_fn(self.params, f.codes, f.scale), 1, 2)
-            for f in frames
-        ]
+        # batch equal-length frames through one device call
+        decoded: list = [None] * len(frames)
+        by_len: dict[int, list[int]] = {}
+        for i, f in enumerate(frames):
+            by_len.setdefault(f.codes.shape[-1], []).append(i)
+        for idx_list in by_len.values():
+            group = [frames[i] for i in idx_list]
+            batch = group[0].codes.shape[0]
+            codes = jnp.concatenate([f.codes for f in group], axis=0)
+            scale = (None if group[0].scale is None
+                     else jnp.concatenate([f.scale for f in group], axis=0))
+            out = self._decode_frame_fn(self.params, codes, scale)
+            for j, i in enumerate(idx_list):
+                decoded[i] = jnp.swapaxes(
+                    out[j * batch: (j + 1) * batch], 1, 2)
         return linear_overlap_add(decoded, self.segment_stride)
 
     def forward(self, audio) -> jax.Array:
