@@ -215,6 +215,31 @@ class DAC:
             "vq/codebook_loss": cb,
         }
 
+    def forward_train(self, params: Params, audio: jax.Array, rng: jax.Array):
+        """Training forward with quantizer dropout
+        (ResidualVectorQuantizer.cs:220-237: a quantizer_dropout fraction of
+        the batch trains with a random number of active stages)."""
+        cfg = self.config
+        z = self.encoder(params, audio.astype(self.compute_dtype))
+        b = audio.shape[0]
+        n_stages = len(self.quantizers)
+        dropout_mask = jnp.full((b,), n_stages + 1, jnp.int32)
+        if cfg.quantizer_dropout > 0:
+            n_dropout = int(b * cfg.quantizer_dropout)
+            random_counts = jax.random.randint(rng, (b,), 1, n_stages + 1)
+            row = jnp.arange(b)
+            dropout_mask = jnp.where(row < n_dropout, random_counts, dropout_mask)
+        z_q, codes, latents, commit, cb = self._rvq(params, z, None, dropout_mask)
+        audio_hat = self.decoder(params, z_q)
+        return {
+            "audio": audio_hat,
+            "z": z_q,
+            "codes": codes,
+            "latents": latents,
+            "vq/commitment_loss": commit,
+            "vq/codebook_loss": cb,
+        }
+
     def _decode_fn(self, params: Params, z_q: jax.Array) -> jax.Array:
         return self.decoder(params, z_q.astype(self.compute_dtype)).astype(jnp.float32)
 

@@ -68,15 +68,19 @@ def make_train_step(
     optimizer: optax.GradientTransformation | None = None,
     sample_rate: int | None = None,
     loss_fn: Callable[..., jax.Array] | None = None,
+    remat: bool = False,
 ):
     """Build (init_fn, step_fn) with mesh shardings baked into jit.
 
     step_fn(state, audio [B, T, 1]) -> (state, loss). Batch must divide the
-    dp axis size.
+    dp axis size. ``remat=True`` rematerializes the forward during backprop
+    (jax.checkpoint) — trades FLOPs for activation memory on long crops.
     """
     optimizer = optimizer or optax.adamw(1e-4)
     sample_rate = sample_rate or model.config.sample_rate
     loss = loss_fn or (lambda p, a: dac_generator_loss(model, p, a, sample_rate))
+    if remat:
+        loss = jax.checkpoint(loss)
 
     p_shardings = param_shardings(mesh, model.params)
     rep = replicated(mesh)

@@ -90,3 +90,48 @@ def test_gan_train_step(rng):
         assert np.isfinite(float(metrics[key])), key
     states, metrics2 = step_fn(states, audio)
     assert int(states[0].step) == 2
+
+
+def test_dac_forward_train_quantizer_dropout(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+
+    cfg = DACConfig(sample_rate=16000, encoder_dim=8, encoder_rates=[2, 2],
+                    decoder_dim=32, decoder_rates=[2, 2], n_codebooks=4,
+                    codebook_size=16, codebook_dim=4, quantizer_dropout=0.5)
+    model = DAC(cfg)
+    audio = jnp.asarray(0.1 * rng.standard_normal((4, cfg.hop_length * 8, 1)),
+                        jnp.float32)
+    out = jax.jit(model.forward_train)(model.params, audio, jax.random.key(0))
+    assert out["codes"].shape[1] == 4  # all stages computed
+    assert np.isfinite(float(out["vq/commitment_loss"]))
+    # gradient flows through the dropout-masked forward
+    loss_fn = lambda p: jnp.mean(
+        model.forward_train(p, audio, jax.random.key(0))["audio"] ** 2)
+    grads = jax.grad(loss_fn)(model.params)
+    g = np.asarray(grads["decoder.model.0.weight"])
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+
+def test_train_step_remat(rng):
+    import optax
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+    from neuralcodecs_tpu.parallel.mesh import make_mesh
+    from neuralcodecs_tpu.parallel.train import make_train_step
+
+    mesh = make_mesh(dp=8)
+    cfg = DACConfig(sample_rate=16000, encoder_dim=8, encoder_rates=[2, 2],
+                    decoder_dim=32, decoder_rates=[2, 2], n_codebooks=2,
+                    codebook_size=16, codebook_dim=4)
+    model = DAC(cfg)
+    init_fn, step_fn = make_train_step(model, mesh, optax.adam(1e-4),
+                                       sample_rate=16000, remat=True)
+    state = init_fn(model.params)
+    audio = jnp.asarray(0.1 * rng.standard_normal((8, cfg.hop_length * 32, 1)),
+                        jnp.float32)
+    state, loss = step_fn(state, audio)
+    assert np.isfinite(float(loss))
