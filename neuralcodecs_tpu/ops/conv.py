@@ -83,14 +83,17 @@ def conv_transpose1d(
     """
     weight = weight.astype(x.dtype)
     k = weight.shape[0]
-    lo = dilation * (k - 1) - padding
-    hi = dilation * (k - 1) - padding + output_padding
     # NOTE: XLA's lhs_dilation path miscompiles asymmetric-padding cases
     # (odd stride + output_padding=1, e.g. SNAC 44k's stride-3 decoder block)
-    # on both CPU and TPU backends (observed jax 0.9), and is also ~20%
-    # SLOWER than explicit zero-stuffing on the symmetric cases (measured on
-    # v5e: 158x vs 203x SNAC-24k round-trip). Zero-stuff explicitly via
-    # reshape — XLA fuses the pad+reshape into the conv.
+    # on both CPU and TPU backends (observed jax 0.9), and is ~20% slower
+    # than explicit zero-stuffing even where correct (v5e: 158x vs 203x
+    # SNAC-24k round-trip). Einsum+fold reformulations (tap matmul + either
+    # strided scatter or frame/sub-position adds) win on isolated
+    # weight-heavy stages (3.6x on the stride-8 1024->512 stage) but LOSE
+    # end-to-end (190x/179x vs 204x) — the fold writes fight TPU layouts at
+    # the long-T low-C stages. Zero-stuff via reshape; XLA fuses it.
+    lo = dilation * (k - 1) - padding
+    hi = dilation * (k - 1) - padding + output_padding
     if stride > 1:
         b, t, c = x.shape
         x = jnp.pad(x[:, :, None, :], ((0, 0), (0, 0), (0, stride - 1), (0, 0)))
