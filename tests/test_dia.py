@@ -114,3 +114,26 @@ def test_dia_with_dac_vocoder(rng):
     assert len(audios) == 1
     assert audios[0].ndim == 1 and audios[0].size > 0
     assert np.isfinite(audios[0]).all()
+
+
+def test_dia_torch_checkpoint_name_mapping(rng):
+    """A torch-style Dia state dict (nari-labs naming, [in...,out...]
+    DenseGeneral kernels) loads by name without transposes."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    # build a fake checkpoint: same names, numpy arrays, model. prefix
+    sd = {f"model.{k}": np.asarray(v) for k, v in dia.params.items()}
+    dia2 = Dia(cfg, seed=1)
+    dia2.load_state_dict(sd)
+    for k in dia.params:
+        np.testing.assert_array_equal(np.asarray(dia.params[k]),
+                                      np.asarray(dia2.params[k]))
+
+
+def test_dia_missing_key_raises():
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    sd = {k: np.asarray(v) for k, v in dia.params.items()}
+    del sd["decoder.norm.weight"]
+    with pytest.raises(Exception):
+        Dia(cfg, seed=1).load_state_dict(sd)

@@ -181,3 +181,31 @@ def test_compress_roundtrip_lm_chunked(rng):
     out = np.asarray(model.decompress(blob, lm=lm))
     direct = np.asarray(model.decode(model.encode(audio)))[..., :1800]
     np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_lm_torch_checkpoint_name_mapping(rng):
+    """Original-encodec LM state dict ([out,in] torch linears) round-trips."""
+    import torch as _torch
+
+    from neuralcodecs_tpu.models.encodec.lm import (
+        EncodecLanguageModel, EncodecLMConfig)
+
+    cfg = EncodecLMConfig(codebook_size=16, num_codebooks=2, dimension=32,
+                          num_heads=4, num_layers=1, past_context=8)
+    lm = EncodecLanguageModel(cfg, seed=0)
+    # fake torch checkpoint: transpose our [in,out] linears back to [out,in]
+    sd = {}
+    for k, v in lm.params.items():
+        a = np.asarray(v)
+        if k.endswith((".in_proj_weight", ".out_proj.weight", ".linear1.weight",
+                       ".linear2.weight")) or (
+                k.startswith("linears.") and k.endswith(".weight")):
+            a = a.T.copy()
+        sd[f"model.{k}"] = a
+    lm2 = EncodecLanguageModel(cfg, seed=1).load_state_dict(sd)
+    for k in lm.params:
+        np.testing.assert_array_equal(np.asarray(lm.params[k]),
+                                      np.asarray(lm2.params[k]))
+    codes = rng.integers(0, 17, size=(1, 2, 4))
+    np.testing.assert_allclose(np.asarray(lm.forward_full(codes)),
+                               np.asarray(lm2.forward_full(codes)))
