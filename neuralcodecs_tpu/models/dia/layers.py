@@ -95,12 +95,33 @@ class DenseGeneral:
         params[f"{self.prefix}.weight"] = jnp.asarray(w)
 
     def __call__(self, params: Params, x: Array) -> Array:
-        w = params[f"{self.prefix}.weight"].astype(x.dtype)
+        q8 = params.get(f"{self.prefix}.weight_q8")
+        if q8 is not None:
+            # weight-only int8: HBM streams 1 byte/param; dequant fuses into
+            # the VMEM-side matmul read (decode is parameter-bandwidth bound)
+            scale = params[f"{self.prefix}.weight_scale"]
+            w = q8.astype(x.dtype) * scale.astype(x.dtype)
+        else:
+            w = params[f"{self.prefix}.weight"].astype(x.dtype)
         n_in = len(self.in_shapes)
         axes = (tuple(range(x.ndim - n_in, x.ndim)), tuple(range(n_in)))
         return jax.lax.dot_general(
             x, w, dimension_numbers=(axes, ((), ())),
             preferred_element_type=x.dtype)
+
+    def quantize_params(self, params: Params) -> None:
+        """Replace this kernel in-place with int8 data + per-output scales
+        (weight-only quantization; amax over the contracted in-dims)."""
+        w = np.asarray(params[f"{self.prefix}.weight"], np.float32)
+        n_in = len(self.in_shapes)
+        in_axes = tuple(range(n_in))
+        amax = np.max(np.abs(w), axis=in_axes, keepdims=True)
+        scale = (amax / 127.0).astype(np.float32)
+        q8 = np.clip(np.round(w / np.maximum(scale, 1e-12)), -127, 127)
+        params[f"{self.prefix}.weight_q8"] = jnp.asarray(q8.astype(np.int8))
+        params[f"{self.prefix}.weight_scale"] = jnp.asarray(scale)
+        del params[f"{self.prefix}.weight"]
+
 
 
 class MlpBlock:

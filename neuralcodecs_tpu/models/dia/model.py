@@ -194,6 +194,27 @@ class Dia:
         self.params = params
         return self
 
+    def quantize_int8(self) -> "Dia":
+        """Weight-only int8 quantization of all DenseGeneral kernels.
+
+        Decode throughput on a single chip is bound by streaming the 1.6B
+        parameters from HBM each step; int8 storage halves that again over
+        bf16 (dequant happens on the VMEM side of the read). Embeddings and
+        norms stay in their original dtype."""
+        params = dict(self.params)
+        for layer in self.enc_layers:
+            for dense in (*layer.self_attention._children,
+                          layer.mlp.wi_fused, layer.mlp.wo):
+                dense.quantize_params(params)
+        for layer in self.dec_layers:
+            for dense in (*layer.self_attention._children,
+                          *layer.cross_attention._children,
+                          layer.mlp.wi_fused, layer.mlp.wo):
+                dense.quantize_params(params)
+        self.logits_dense.quantize_params(params)
+        self.params = params
+        return self
+
     # ---------------------------------------------------------- text handling
 
     def encode_text(self, text: str) -> np.ndarray:

@@ -137,3 +137,18 @@ def test_dia_missing_key_raises():
     del sd["decoder.norm.weight"]
     with pytest.raises(Exception):
         Dia(cfg, seed=1).load_state_dict(sd)
+
+
+def test_dia_int8_quantization(rng):
+    """Weight-only int8: outputs stay close; generation still works."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    c_ref, _ = dia.generate_codes(["[S1]hello"], max_tokens=16, seed=5)
+    n_params_before = sum(np.asarray(v).nbytes for v in dia.params.values())
+    dia.quantize_int8()
+    n_params_after = sum(np.asarray(v).nbytes for v in dia.params.values())
+    assert n_params_after < 0.5 * n_params_before
+    assert not any(k.endswith("q_proj.weight") for k in dia.params)
+    c_q, _ = dia.generate_codes(["[S1]hello"], max_tokens=16, seed=5)
+    assert c_q.shape[2] == 3  # sampling differs slightly; shape/validity hold
+    assert (c_q >= 0).all() and (c_q <= 1023).all()
