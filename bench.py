@@ -61,12 +61,13 @@ def _emit(metric: str, xrt: float) -> None:
     }))
 
 
-def bench_snac(compute_dtype=None) -> float:
+def bench_snac(compute_dtype=None, decoder_dtype=None) -> float:
     import jax
 
     from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
 
-    model = SNAC(SNACConfig.snac_24khz(), compute_dtype=compute_dtype)
+    model = SNAC(SNACConfig.snac_24khz(), compute_dtype=compute_dtype,
+                 decoder_dtype=decoder_dtype)
     cfg = model.config
     seconds = 10.0
     n = int(cfg.sample_rate * seconds)
@@ -151,6 +152,8 @@ def main() -> None:
         _emit("encodec24_roundtrip_xRT", bench_encodec())
     if "--bf16" in sys.argv:  # separate flag: the remote bf16 compile is slow
         _emit("snac24_bf16_roundtrip_xRT", bench_snac(compute_dtype="bfloat16"))
+    if "--mixed" in sys.argv:  # f32 encoder+RVQ (bit-exact codes), bf16 decoder
+        _emit("snac24_mixed_roundtrip_xRT", bench_snac(decoder_dtype="bfloat16"))
     if "--dia" in sys.argv:
         tok_s = bench_dia()
         print(json.dumps({

@@ -131,6 +131,42 @@ def cmd_tts(args) -> int:
     return 0
 
 
+def cmd_interactive(args) -> int:
+    """Interactive menu (counterpart of the Spectre.Console examples app,
+    NeuralCodecs.Torch.Examples/Program.cs:28-170)."""
+    print("neuralcodecs interactive — choose a task:")
+    print("  1) codec round-trip (SNAC/DAC/Encodec)")
+    print("  2) compress WAV to .ecdc")
+    print("  3) decompress .ecdc")
+    print("  4) Dia text-to-speech")
+    print("  5) benchmark")
+    choice = input("> ").strip()
+    if choice == "1":
+        codec = input("codec [snac/dac/encodec] (snac)> ").strip() or "snac"
+        inp = input("input wav> ").strip()
+        out = input("output wav (out.wav)> ").strip() or "out.wav"
+        model = input("model path or HF id (blank = random init)> ").strip() or None
+        return main(["roundtrip", "--codec", codec, "--input", inp,
+                     "--output", out, "--spectrograms"]
+                    + (["--model", model] if model else []))
+    if choice == "2":
+        inp = input("input wav> ").strip()
+        out = input("output .ecdc (out.ecdc)> ").strip() or "out.ecdc"
+        return main(["compress", "--input", inp, "--output", out])
+    if choice == "3":
+        inp = input("input .ecdc> ").strip()
+        out = input("output wav (rec.wav)> ").strip() or "rec.wav"
+        return main(["decompress", "--input", inp, "--output", out])
+    if choice == "4":
+        text = input("text ([S1]Hello!)> ").strip() or "[S1]Hello!"
+        out = input("output wav (tts.wav)> ").strip() or "tts.wav"
+        return main(["tts", "--text", text, "--output", out])
+    if choice == "5":
+        return main(["bench"])
+    print("unknown choice")
+    return 1
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -178,6 +214,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     be = sub.add_parser("bench", help="run the benchmark suite")
     be.set_defaults(fn=cmd_bench)
+
+    it = sub.add_parser("interactive", help="interactive menu (Examples-app style)")
+    it.set_defaults(fn=cmd_interactive)
     return p
 
 

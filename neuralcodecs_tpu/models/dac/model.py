@@ -108,9 +108,12 @@ class DAC:
 
     def __init__(self, config: DACConfig | None = None, *,
                  params: Params | None = None, seed: int = 0,
-                 compute_dtype=None):
+                 compute_dtype=None, decoder_dtype=None):
         self.config = config or DACConfig()
         self.compute_dtype = compute_dtype or jnp.float32
+        # mixed mode: f32 encoder+RVQ (bit-exact codes) with a bf16 decoder
+        # (the decoder dominates HBM traffic at 44.1 kHz)
+        self.decoder_dtype = decoder_dtype or self.compute_dtype
         cfg = self.config
         self.hop_length = cfg.hop_length
         latent = cfg.resolved_latent_dim
@@ -205,7 +208,7 @@ class DAC:
 
     def _forward_fn(self, params: Params, audio: jax.Array, n_quantizers: int | None):
         z_q, codes, latents, commit, cb = self._encode_fn(params, audio, n_quantizers)
-        audio_hat = self.decoder(params, z_q)
+        audio_hat = self.decoder(params, z_q.astype(self.decoder_dtype)).astype(jnp.float32)
         return {
             "audio": audio_hat,
             "z": z_q,
@@ -241,7 +244,31 @@ class DAC:
         }
 
     def _decode_fn(self, params: Params, z_q: jax.Array) -> jax.Array:
-        return self.decoder(params, z_q.astype(self.compute_dtype)).astype(jnp.float32)
+        return self.decoder(params, z_q.astype(self.decoder_dtype)).astype(jnp.float32)
+
+    def _from_latents_fn(self, params: Params, latents: jax.Array):
+        """Continuous latents [B, T, sum(D_i)] -> (z_q, codes)
+        (RVQ.FromLatents, ResidualVectorQuantizer.cs:240-297): slice each
+        stage's codebook_dim span, re-quantize, sum projections."""
+        dims = np.cumsum([0] + [vq.codebook_dim for vq in self.quantizers])
+        n_stages = int(np.searchsorted(dims, latents.shape[-1], side="right")) - 1
+        z_q = None
+        codes = []
+        for i in range(n_stages):
+            vq = self.quantizers[i]
+            z_e = latents[..., dims[i]: dims[i + 1]].astype(jnp.float32)
+            codebook = params[f"{vq.prefix}.codebook.weight"]
+            stage_codes = l2_argmin_codes(z_e, codebook)
+            z_p = codebook_lookup(stage_codes, codebook)
+            contrib = vq.out_proj(params, z_p)
+            z_q = contrib if z_q is None else z_q + contrib
+            codes.append(stage_codes)
+        return z_q, jnp.stack(codes, axis=1)
+
+    def from_latents(self, latents) -> jax.Array:
+        """Latents (cat of per-stage z_e) -> decoded audio (DAC.FromLatents)."""
+        z_q, _ = jax.jit(self._from_latents_fn)(self.params, jnp.asarray(latents))
+        return self._jit_decode(self.params, z_q)[:, :, 0]
 
     def _from_codes_fn(self, params: Params, codes: jax.Array) -> jax.Array:
         """codes: [B, Nq, T] -> z_q [B, T, C] (RVQ.FromCodes :211-297)."""

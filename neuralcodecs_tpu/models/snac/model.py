@@ -151,11 +151,15 @@ class SNAC:
 
     def __init__(self, config: SNACConfig | None = None, *,
                  params: Params | None = None, seed: int = 0,
-                 compute_dtype=None):
+                 compute_dtype=None, decoder_dtype=None):
         self.config = config or SNACConfig()
         # bf16 compute halves HBM traffic (~2x speed) at ~47 dB SNR vs the
         # f32 path; f32 is the default for the >60 dB parity gate.
+        # decoder_dtype=bf16 with compute_dtype=f32 is the mixed mode: the
+        # encoder + RVQ stay f32 (code indices bit-exact) and only the
+        # HBM-bound decoder runs bf16.
         self.compute_dtype = compute_dtype or jnp.float32
+        self.decoder_dtype = decoder_dtype or self.compute_dtype
         cfg = self.config
         self.hop_length = cfg.hop_length
         latent = cfg.resolved_latent_dim
@@ -262,11 +266,11 @@ class SNAC:
         z_q = self.quantizers[0].decode_code(params, codes[0])
         for vq, c in zip(self.quantizers[1:], codes[1:]):
             z_q = z_q + vq.decode_code(params, c)
-        return self._run_decoder(params, z_q, rng)
+        return self._run_decoder(params, z_q, rng).astype(jnp.float32)
 
     def _run_decoder(self, params: Params, z_q: jax.Array,
                      rng: jax.Array | None) -> jax.Array:
-        x = z_q.astype(self.compute_dtype)
+        x = z_q.astype(self.decoder_dtype)
         for layer in self.decoder.layers:
             if isinstance(layer, _DecoderBlock):
                 sub = None

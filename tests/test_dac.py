@@ -85,3 +85,16 @@ def test_dac_losses_finite(rng):
     out = model.forward(audio)
     assert np.isfinite(float(out["vq/commitment_loss"]))
     assert np.isfinite(float(out["vq/codebook_loss"]))
+
+
+def test_dac_from_latents_matches_roundtrip(rng):
+    """FromLatents re-quantizes the concatenated stage latents
+    (reference RVQ.FromLatents :240-297)."""
+    cfg = tiny_config()
+    model = DAC(cfg)
+    audio = rng.standard_normal(cfg.hop_length * 6).astype(np.float32)
+    z_q, codes, latents, _, _ = model.encode(audio)
+    rec_from_latents = model.from_latents(latents)
+    rec_direct = model.decode(z_q)
+    np.testing.assert_allclose(np.asarray(rec_from_latents),
+                               np.asarray(rec_direct), rtol=1e-4, atol=1e-5)

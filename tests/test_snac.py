@@ -121,3 +121,22 @@ def test_snac_process_audio_resamples(rng):
     out = model.process_audio(audio, sample_rate=16000)
     # 16k -> 24k: 1.5x samples
     assert abs(out.shape[-1] - 12000) < 4
+
+
+def test_snac_mixed_precision_codes_bit_exact(rng):
+    """decoder_dtype=bf16 must not change RVQ code indices (encoder+VQ stay
+    f32); decoded audio stays close to the f32 path."""
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.models.snac import SNAC
+    cfg = tiny_config()
+    f32 = SNAC(cfg, seed=0)
+    mixed = SNAC(cfg, seed=0, decoder_dtype=jnp.bfloat16)
+    audio = (0.3 * rng.standard_normal(cfg.hop_length * 6)).astype(np.float32)
+    out_f, codes_f = f32.forward(audio)
+    out_m, codes_m = mixed.forward(audio)
+    for cf, cm in zip(codes_f, codes_m):
+        np.testing.assert_array_equal(np.asarray(cf), np.asarray(cm))
+    assert out_m.dtype == np.float32 or out_m.dtype == jnp.float32
+    err = np.abs(np.asarray(out_f) - np.asarray(out_m)).max()
+    assert err < 0.1, f"bf16 decoder drifted too far: {err}"
