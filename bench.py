@@ -121,6 +121,58 @@ def bench_encodec() -> float:
                           needs_key=False)
 
 
+def bench_encodec48() -> float:
+    """Encodec 48 kHz stereo (BASELINE.json config 3): one 1 s segment
+    round-trip at 12 kbps through the jitted chunk path."""
+    import jax
+
+    from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
+
+    model = Encodec(EncodecConfig.encodec_48khz())
+    sr = model.config.sample_rate
+    seconds = 1.0  # the 48k model is segmented into 1 s chunks
+    rng = np.random.default_rng(0)
+    a = jax.device_put(0.25 * rng.standard_normal(
+        (4, int(sr * seconds), model.config.channels)).astype(np.float32))
+    n_q = model.quantizer.num_quantizers_for_bandwidth(model.frame_rate, 12.0)
+
+    def fwd(params, x, _key):
+        codes = model.quantizer.encode(params, model.encoder(params, x), n_q)
+        return model.decoder(params, model.quantizer.decode(params, codes))
+
+    return _bench_forward(fwd, model.params, a, seconds, iters=10,
+                          needs_key=False)
+
+
+def bench_dsp() -> float:
+    """AudioTools batch DSP pipeline (BASELINE.json config 4): polyphase
+    resample 44.1k->24k + mel spectrogram + compressor, one jitted chain
+    over a batch of 10 s clips."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.dsp.effects import apply_compressor
+    from neuralcodecs_tpu.dsp.mel import mel_spectrogram
+    from neuralcodecs_tpu.dsp.resample import resample_poly
+
+    # batch 64: the compressor's envelope follower is a serial scan in T
+    # whose wall time is batch-invariant (it occupies B of the VPU's lanes),
+    # so aggregate throughput scales ~linearly with batch (8 -> 303x,
+    # 64 -> ~2354x measured on v5e)
+    seconds, batch, src_sr, dst_sr = 10.0, 64, 44100, 24000
+    rng = np.random.default_rng(0)
+    a = jax.device_put(0.25 * rng.standard_normal(
+        (batch, int(src_sr * seconds))).astype(np.float32))
+
+    def fwd(_params, x, _key):
+        y = resample_poly(x, src_sr, dst_sr)
+        y = apply_compressor(y, dst_sr, threshold=-20.0, ratio=4.0)
+        mel = mel_spectrogram(y, dst_sr, n_mels=80)
+        return jnp.sum(mel) + jnp.sum(y)
+
+    return _bench_forward(fwd, {}, a, seconds, iters=5, needs_key=False)
+
+
 def bench_dia() -> float:
     """Full-size Dia 1.6B decode throughput in tokens/s (bf16 compute).
 
@@ -154,6 +206,10 @@ def main() -> None:
         _emit("snac24_bf16_roundtrip_xRT", bench_snac(compute_dtype="bfloat16"))
     if "--mixed" in sys.argv:  # f32 encoder+RVQ (bit-exact codes), bf16 decoder
         _emit("snac24_mixed_roundtrip_xRT", bench_snac(decoder_dtype="bfloat16"))
+    if "--enc48" in sys.argv:
+        _emit("encodec48_stereo_roundtrip_xRT", bench_encodec48())
+    if "--dsp" in sys.argv:
+        _emit("audiotools_dsp_pipeline_xRT", bench_dsp())
     if "--dia" in sys.argv:
         tok_s = bench_dia()
         print(json.dumps({
