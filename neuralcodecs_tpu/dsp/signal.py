@@ -9,6 +9,8 @@ a new AudioSignal (functional style), and the compute stays on device.
 
 from __future__ import annotations
 
+import dataclasses
+
 import wave
 from pathlib import Path
 from typing import Iterable, Sequence
@@ -22,6 +24,15 @@ from neuralcodecs_tpu.dsp.stft import STFTParams, istft, stft
 from neuralcodecs_tpu.dsp.mel import mel_spectrogram, mfcc
 from neuralcodecs_tpu.dsp.loudness import integrated_loudness, normalize_loudness
 from neuralcodecs_tpu.dsp.resample import resample_poly
+
+
+@dataclasses.dataclass
+class AudioInfo:
+    """Basic stream facts (AudioTools/AudioInfo.cs:7-12)."""
+
+    duration: float
+    num_frames: int
+    sample_rate: float
 
 
 class AudioSignal:
@@ -94,6 +105,13 @@ class AudioSignal:
     @property
     def signal_length(self) -> int:
         return self.audio_data.shape[2]
+
+    @property
+    def info(self) -> "AudioInfo":
+        """Stream facts record (AudioTools/AudioInfo.cs)."""
+        return AudioInfo(duration=self.signal_duration,
+                         num_frames=self.signal_length,
+                         sample_rate=float(self.sample_rate))
 
     @property
     def signal_duration(self) -> float:

@@ -205,3 +205,17 @@ def test_conv_layer_norm_encodec():
     out = layer(params, jnp.ones((1, 32, 4)))
     assert out.shape[2] == 8
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_audio_info_and_operation_result():
+    from neuralcodecs_tpu.core.operations import CodecOperation, OperationResult
+    from neuralcodecs_tpu.dsp.signal import AudioSignal
+
+    sig = AudioSignal(np.zeros(24000, np.float32), 24000)
+    info = sig.info
+    assert info.num_frames == 24000 and abs(info.duration - 1.0) < 1e-9
+    ok = OperationResult.from_success(info)
+    assert ok.success and ok.result is info and ok.error is None
+    err = OperationResult.from_error(RuntimeError("boom"))
+    assert not err.success and "boom" in err.message
+    assert CodecOperation.MODEL_LOADING.value == "model_loading"
