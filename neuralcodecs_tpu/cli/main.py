@@ -108,17 +108,24 @@ def cmd_decompress(args) -> int:
 
 
 def cmd_tts(args) -> int:
+    import jax.numpy as jnp
+
     from neuralcodecs_tpu.dsp.signal import AudioSignal
     from neuralcodecs_tpu.models.dia import Dia, DiaConfig
 
+    # bf16 is the serving default: full-size f32 Dia (6.4 GB of params plus
+    # CFG-doubled KV caches) exhausts a 16 GB chip
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
     if args.model:
         from neuralcodecs_tpu.core.loader import load_dia
 
-        model = load_dia(args.model)
+        model = load_dia(args.model, compute_dtype=dtype)
     else:
         print("note: no --model given; using a randomly initialized Dia "
               "(output will be noise)", file=sys.stderr)
-        model = Dia(DiaConfig())
+        model = Dia(DiaConfig(), compute_dtype=dtype)
+    if args.int8:
+        model.quantize_int8()
     if args.dac_model:
         model.load_dac_model(args.dac_model)
     else:
@@ -210,6 +217,9 @@ def build_parser() -> argparse.ArgumentParser:
     tts.add_argument("--model")
     tts.add_argument("--dac-model")
     tts.add_argument("--max-tokens", type=int, default=None)
+    tts.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    tts.add_argument("--int8", action="store_true",
+                     help="weight-only int8 (fastest serving config)")
     tts.set_defaults(fn=cmd_tts)
 
     be = sub.add_parser("bench", help="run the benchmark suite")
