@@ -224,29 +224,44 @@ def bench_dia_int8() -> float:
 
 
 def main() -> None:
+    """Default run (no flags) emits the full metric set — the Dia tokens/s
+    headline FIRST (the driver parses line 1), then every codec/DSP xRT line
+    against the >500x north star. Flags act as filters for quick single-bench
+    runs; ``--bf16``/``--mixed``/``--int8`` stay opt-in because the remote
+    bf16 compile is slow (~400 s over the axon tunnel).
+    """
     import sys
 
-    tok_s = bench_dia()
-    print(json.dumps({
-        "metric": "dia_1.6b_decode_tokens_per_s",
-        "value": round(tok_s, 1),
-        "unit": "tokens/s",
-        "vs_baseline": round(tok_s / 40.0, 2),  # reference: 40 tok/s, RTX 3090
-    }))
-    if "--all" in sys.argv:
+    filter_flags = {"--snac", "--dac", "--enc24", "--enc48", "--dsp",
+                    "--dia", "--all"}
+    given = filter_flags & set(sys.argv[1:])
+    full = not given or "--all" in given
+
+    def want(flag: str) -> bool:
+        return full or flag in given
+
+    if want("--dia"):
+        tok_s = bench_dia()
+        print(json.dumps({
+            "metric": "dia_1.6b_decode_tokens_per_s",
+            "value": round(tok_s, 1),
+            "unit": "tokens/s",
+            "vs_baseline": round(tok_s / 40.0, 2),  # ref: 40 tok/s, RTX 3090
+        }))
+    if want("--snac"):
         _emit("snac24_roundtrip_xRT", bench_snac())
+    if want("--dac"):
         _emit("dac44_roundtrip_xRT", bench_dac())
+    if want("--enc24"):
         _emit("encodec24_roundtrip_xRT", bench_encodec())
+    if want("--enc48"):
+        _emit("encodec48_stereo_roundtrip_xRT", bench_encodec48())
+    if want("--dsp"):
+        _emit("audiotools_dsp_pipeline_xRT", bench_dsp())
     if "--bf16" in sys.argv:  # separate flag: the remote bf16 compile is slow
         _emit("snac24_bf16_roundtrip_xRT", bench_snac(compute_dtype="bfloat16"))
     if "--mixed" in sys.argv:  # f32 encoder+RVQ (bit-exact codes), bf16 decoder
         _emit("snac24_mixed_roundtrip_xRT", bench_snac(decoder_dtype="bfloat16"))
-    if "--enc48" in sys.argv:
-        _emit("encodec48_stereo_roundtrip_xRT", bench_encodec48())
-    if "--dsp" in sys.argv:
-        _emit("audiotools_dsp_pipeline_xRT", bench_dsp())
-    if "--snac" in sys.argv:
-        _emit("snac24_roundtrip_xRT", bench_snac())
     if "--int8" in sys.argv:  # weight-only int8 Dia (serving config)
         tok_s = bench_dia_int8()
         print(json.dumps({
