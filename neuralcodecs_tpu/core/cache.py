@@ -86,6 +86,11 @@ class ModelCache:
             if not p.is_file() or p.stat().st_size != f.size:
                 self.invalidate(model_id, revision)
                 return None
+            # Integrity check (ADVICE r1): a tampered same-size file must not
+            # pass validation — cache_meta.json stores a SHA-256 per file.
+            if f.sha256 and file_sha256(p) != f.sha256:
+                self.invalidate(model_id, revision)
+                return None
         return d
 
     def cache_model(
@@ -102,6 +107,13 @@ class ModelCache:
             src = Path(src)
             if not src.is_file():
                 raise CacheError(f"Cannot cache missing file {src}")
+            # Names may originate from remote repo listings; never let them
+            # escape the cache directory (ADVICE r1, high).
+            if ("\\" in name or Path(name).is_absolute()
+                    or not Path(name).parts
+                    or any(p in ("..", ".") for p in Path(name).parts)
+                    or not (d / name).resolve().is_relative_to(d.resolve())):
+                raise CacheError(f"Unsafe cache file name {name!r}")
             dst = d / name
             dst.parent.mkdir(parents=True, exist_ok=True)
             if src.resolve() != dst.resolve():

@@ -77,6 +77,25 @@ def _download_file(
     return with_retry(fetch)
 
 
+def safe_join(dest: Path, name: str) -> Path:
+    """Join a remote-controlled file name under dest, rejecting traversal.
+
+    HF 'siblings' rfilenames and GitHub contents paths come from untrusted
+    repo listings (ADVICE r1, high): a listing entry like
+    '../../../.bashrc.pt' must not escape the download/cache directory.
+    """
+    if "\\" in name or name.startswith("/") or not name:
+        raise RepositoryError(f"Unsafe remote file name {name!r}")
+    parts = Path(name).parts
+    if (not parts or any(p in ("..", ".") for p in parts)
+            or Path(name).is_absolute()):
+        raise RepositoryError(f"Unsafe remote file name {name!r}")
+    joined = (dest / name).resolve()
+    if not joined.is_relative_to(dest.resolve()):
+        raise RepositoryError(f"Unsafe remote file name {name!r}")
+    return dest / name
+
+
 def is_lfs_pointer(path: Path) -> bool:
     """Detect a Git-LFS pointer file downloaded instead of real weights.
 
@@ -149,7 +168,7 @@ class HuggingFaceRepository:
         out: dict[str, Path] = {}
         for name in filter(None, [model_file, config_file]):
             url = self.RESOLVE.format(repo=source, rev=revision, file=name)
-            out[name] = _download_file(url, dest / name, events, source)
+            out[name] = _download_file(url, safe_join(dest, name), events, source)
         _validate_weights(out)
         return out
 
@@ -186,7 +205,7 @@ class GitHubRepository:
         if m and m.group("path"):
             # direct release-asset / raw URL
             name = Path(m.group("path")).name
-            out = {name: _download_file(source, dest / name, events, source)}
+            out = {name: _download_file(source, safe_join(dest, name), events, source)}
             _validate_weights(out)
             return out
         info = self.get_model_info(source, revision)
@@ -198,7 +217,7 @@ class GitHubRepository:
         out = {}
         for name in filter(None, [model_file, config_file]):
             url = f"https://raw.githubusercontent.com/{owner_repo}/{info.revision}/{name}"
-            out[name] = _download_file(url, dest / name, events, source)
+            out[name] = _download_file(url, safe_join(dest, name), events, source)
         _validate_weights(out)
         return out
 
@@ -215,7 +234,7 @@ class DirectUrlRepository:
         self, source: str, revision: str, dest: Path, events: EventEmitter | None = None
     ) -> dict[str, Path]:
         name = Path(urllib.parse.urlparse(source).path).name or "model.bin"
-        out = {name: _download_file(source, dest / name, events, source)}
+        out = {name: _download_file(source, safe_join(dest, name), events, source)}
         _validate_weights(out)
         return out
 

@@ -106,6 +106,19 @@ class _Skipped:
         return _Skipped(*args)
 
 
+# Exact names a checkpoint pickle may resolve; everything else is stubbed.
+_SAFE_BUILTINS = frozenset({"list", "dict", "set", "tuple", "slice",
+                            "frozenset", "bytearray", "complex"})
+_SAFE_NUMPY_GLOBALS = frozenset({
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+})
+
+
 class _TorchUnpickler(pickle.Unpickler):
     def __init__(self, file: io.BufferedReader, read_record):
         super().__init__(file)
@@ -126,16 +139,20 @@ class _TorchUnpickler(pickle.Unpickler):
             import collections
 
             return collections.OrderedDict
-        if module == "builtins":
+        # Strict allowlist (ADVICE r1, high): resolving arbitrary builtins or
+        # numpy attributes hands eval/exec/__import__ to a malicious pickle.
+        # Checkpoints only need benign containers + numpy array reconstruction.
+        if module == "builtins" and name in _SAFE_BUILTINS:
             import builtins
 
             return getattr(builtins, name)
-        if module.startswith("numpy"):
+        if (module, name) in _SAFE_NUMPY_GLOBALS:
             import importlib
 
             return getattr(importlib.import_module(module), name)
-        # Anything else (argparse.Namespace, omegaconf, model classes...) is
-        # replaced by an inert stub — checkpoints only need tensors + dicts.
+        # Anything else (argparse.Namespace, omegaconf, model classes,
+        # unlisted builtins/numpy callables...) is replaced by an inert stub —
+        # checkpoints only need tensors + dicts.
         return _Skipped
 
     def persistent_load(self, saved_id: Any) -> _StorageStub:
@@ -185,7 +202,10 @@ def _load_legacy(path: Path) -> Any:
         raise LoadError(
             f"{path} is a legacy torch checkpoint and torch is unavailable"
         ) from exc
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only=True: the legacy path must not execute arbitrary pickle
+    # globals either (ADVICE r1, high). Legacy files holding non-tensor
+    # payloads are rejected rather than risked.
+    obj = torch.load(path, map_location="cpu", weights_only=True)
     return _tensors_to_numpy(obj)
 
 

@@ -54,6 +54,14 @@ def compress(model, audio, use_lm: bool = False, lm=None) -> bytes:
     }
     if model.bandwidth is not None:
         metadata["bw"] = float(model.bandwidth)
+    if use_lm and model.segment_length is not None:
+        # Explicit format-deviation marker (ADVICE r1): segmented LM streams
+        # length-prefix each frame payload (the range decoder cannot know the
+        # encoder's flush-byte count, so back-to-back payloads are not
+        # self-delimiting). The reference format has no such prefix; flagging
+        # it in metadata keeps readers from mis-parsing and scopes the
+        # byte-compatibility claim to unsegmented / no-LM streams.
+        metadata["lp"] = True
     ecdc.write_header(out, metadata)
 
     for codes, scale in frames:
@@ -138,6 +146,10 @@ def decompress(model, data: bytes, lm=None):
             if model.segment_length is not None:
                 import struct
 
+                if not metadata.get("lp"):
+                    raise CodecError(
+                        "Segmented LM stream without the 'lp' length-prefix "
+                        "marker — produced by an incompatible writer")
                 (payload_len,) = struct.unpack(">I", stream.read(4))
                 payload = stream.read(payload_len)
             else:

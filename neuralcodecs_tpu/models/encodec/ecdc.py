@@ -1,9 +1,16 @@
-""".ecdc container format (byte-compatible with the reference).
+""".ecdc container format.
 
 Layout (BinaryIO.cs:8-292): ``b"ECDC"`` magic, 1-byte version (0), 4-byte
 big-endian JSON metadata length, UTF-8 JSON metadata, then per-frame
 payloads. Required metadata keys: m (model name), al (audio length),
 nc (num codebooks), lm (language-model flag).
+
+Byte-compatibility scope: the header and the no-LM bit-packed payloads, plus
+single-segment (24 kHz) LM streams, match the reference format byte for byte.
+Segmented (48 kHz) LM streams additionally length-prefix each frame payload
+(4-byte big-endian) because back-to-back range-coder payloads are not
+self-delimiting; such streams carry the metadata marker ``lp: true`` and are
+NOT readable by the reference (which shares the underlying ambiguity).
 """
 
 from __future__ import annotations

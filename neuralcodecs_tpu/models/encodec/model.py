@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from neuralcodecs_tpu.core.exceptions import CodecError
+from neuralcodecs_tpu.core.exceptions import CodecError, LoadError
 from neuralcodecs_tpu.core.registry import registry
 from neuralcodecs_tpu.dsp.overlap import linear_overlap_add
 from neuralcodecs_tpu.models.encodec.config import EncodecConfig
@@ -89,9 +89,11 @@ class Encodec:
 
         self.hop_length = self.encoder.hop_length
         self.frame_rate = math.ceil(cfg.sample_rate / self.hop_length)
-        # reference: nQ = 1000·max(bw) / (ceil(sr/hop)·10)  (Encodec.cs:41-44)
-        n_q = int(1000 * max(cfg.target_bandwidths)
-                  / (math.ceil(cfg.sample_rate / self.hop_length) * 10))
+        # reference: nQ = 1000·max(bw) / (ceil(sr/hop)·10)  (Encodec.cs:41-44);
+        # floor at 1 so low-bandwidth/tiny configs never build a zero-codebook
+        # quantizer (matches num_quantizers_for_bandwidth's clamp).
+        n_q = max(1, int(1000 * max(cfg.target_bandwidths)
+                         / (math.ceil(cfg.sample_rate / self.hop_length) * 10)))
         self.quantizer = ResidualVectorQuantizer(
             "quantizer", cfg.codebook_dim, n_q, cfg.codebook_size)
         self.bits_per_codebook = int(math.log2(cfg.codebook_size))
@@ -283,14 +285,22 @@ class Encodec:
         if download:
             url = self._LM_CHECKPOINTS.get(self.config.sample_rate)
             if url is not None:
-                try:
-                    from neuralcodecs_tpu.core.importer import import_checkpoint
-                    from neuralcodecs_tpu.core.loader import LoadOptions, ModelLoader
+                # Do NOT swallow failures (ADVICE r1, medium): an .ecdc
+                # stream arithmetic-coded against a random-init LM decodes to
+                # garbage on any peer with the real weights, silently.
+                from neuralcodecs_tpu.core.importer import import_checkpoint
+                from neuralcodecs_tpu.core.loader import LoadOptions, ModelLoader
 
+                try:
                     path = ModelLoader().resolve(url, LoadOptions())
                     lm.load_state_dict(import_checkpoint(path))
-                except Exception:  # offline / cache miss: keep random init
-                    pass
+                except Exception as exc:
+                    raise LoadError(
+                        f"Pretrained Encodec LM could not be loaded from {url}; "
+                        "refusing to continue with a random-init LM (streams "
+                        "would be undecodable by peers). Pass download=False "
+                        "or set_language_model() to opt into an untrained LM."
+                    ) from exc
         self._lm = lm
         return lm
 
