@@ -79,16 +79,18 @@ def bench_snac(compute_dtype=None, decoder_dtype=None) -> float:
     a = np.zeros((1, padded, 1), np.float32)
     a[:, :n, 0] = 0.25 * rng.standard_normal(n)
     a = jax.device_put(a)
-    return _bench_forward(lambda p, x, k: model._forward_fn(p, x, k)[0],
-                          model.params, a, seconds)
+    chunks = model._auto_chunks(padded)
+    return _bench_forward(
+        lambda p, x, k: model._forward_chunked_fn(p, x, k, chunks)[0],
+        model.params, a, seconds)
 
 
-def bench_dac() -> float:
+def bench_dac(decoder_dtype=None) -> float:
     import jax
 
     from neuralcodecs_tpu.models.dac import DAC, DACConfig
 
-    model = DAC(DACConfig.dac_44khz())
+    model = DAC(DACConfig.dac_44khz(), decoder_dtype=decoder_dtype)
     cfg = model.config
     seconds = 10.0
     n = int(cfg.sample_rate * seconds)
@@ -97,8 +99,9 @@ def bench_dac() -> float:
     a = np.zeros((1, padded, 1), np.float32)
     a[:, :n, 0] = 0.25 * rng.standard_normal(n)
     a = jax.device_put(a)
+    chunks = model._auto_chunks(padded // cfg.hop_length)
     return _bench_forward(
-        lambda p, x, k: model._forward_fn(p, x, None)["audio"],
+        lambda p, x, k: model._forward_chunked_fn(p, x, None, chunks)["audio"],
         model.params, a, seconds, iters=5, needs_key=False)
 
 
@@ -262,6 +265,7 @@ def main() -> None:
         _emit("snac24_bf16_roundtrip_xRT", bench_snac(compute_dtype="bfloat16"))
     if "--mixed" in sys.argv:  # f32 encoder+RVQ (bit-exact codes), bf16 decoder
         _emit("snac24_mixed_roundtrip_xRT", bench_snac(decoder_dtype="bfloat16"))
+        _emit("dac44_mixed_roundtrip_xRT", bench_dac(decoder_dtype="bfloat16"))
     if "--int8" in sys.argv:  # weight-only int8 Dia (serving config)
         tok_s = bench_dia_int8()
         print(json.dumps({

@@ -33,6 +33,13 @@ from neuralcodecs_tpu.models.layers import (
     WNConv1d,
     WNConvTranspose1d,
 )
+from neuralcodecs_tpu.ops.chunking import (
+    conv_stack_receptive_field,
+    decoder_receptive_field_frames,
+    plan_chunks,
+    split_chunks,
+    stitch_chunks,
+)
 from neuralcodecs_tpu.ops.vq import codebook_lookup, l2_argmin_codes
 
 
@@ -128,6 +135,14 @@ class DAC:
         enc_layers.append(Snake1d(f"encoder.block.{idx}", dim))
         enc_layers.append(WNConv1d(f"encoder.block.{idx + 1}", dim, latent, 3, padding=1))
         self.encoder = Sequential(enc_layers)
+        # staged split for chunked execution: the early stages carry the
+        # long-T narrow-C work (chunk-worthy, small receptive field); the
+        # last block onward runs at <=1/64 rate (cheap, deep RF — unchunked)
+        n_early_blocks = max(len(cfg.encoder_rates) - 1, 0)
+        self._enc_early = Sequential(enc_layers[: 1 + n_early_blocks])
+        self._enc_late = Sequential(enc_layers[1 + n_early_blocks:])
+        self._enc_early_ratio = int(np.prod(cfg.encoder_rates[:n_early_blocks])) \
+            if n_early_blocks else 1
 
         self.quantizers = [
             _VectorQuantizer(f"quantizer.quantizers.{i}", latent,
@@ -146,8 +161,28 @@ class DAC:
         dec_layers.append(WNConv1d(f"decoder.model.{n + 2}", out_dim, 1, 7, padding=3))
         dec_layers.append(Tanh())
         self.decoder = Sequential(dec_layers)
+        # staged split (mirror of the encoder's): in-conv + first block run
+        # unchunked (short T, wide C); the tail (long T, narrow C) chunks
+        n_dec_head_blocks = min(1, len(cfg.decoder_rates))
+        self._dec_head = Sequential(dec_layers[: 1 + n_dec_head_blocks])
+        self._dec_tail = Sequential(dec_layers[1 + n_dec_head_blocks:])
+        self._dec_head_ratio = int(np.prod(cfg.decoder_rates[:n_dec_head_blocks])) \
+            if n_dec_head_blocks else 1
+        self._dec_tail_ratio = self.hop_length // self._dec_head_ratio
 
         self._modules = [self.encoder, *self.quantizers, self.decoder]
+        # chunked-batch execution (ops/chunking.py): one stream-level split
+        # into n overlapping windows replaces XLA's per-conv space-to-batch
+        # re-chunking; exact (halo >= receptive field, edge-clamped windows).
+        # Halos are per-STAGE: the chunked early encoder / decoder tail have
+        # shallow receptive fields, so the overlap overhead stays ~2%.
+        n_eb = max(len(cfg.encoder_rates) - 1, 0)
+        rf_early = conv_stack_receptive_field(
+            7, list(cfg.encoder_rates[:n_eb]), last_kernel=None)
+        # halo in early-output frames (rate = _enc_early_ratio), aligned up
+        self._enc_early_halo = -(-rf_early // self._enc_early_ratio) + 2
+        self._dec_tail_halo = decoder_receptive_field_frames(
+            list(cfg.decoder_rates[1:]), include_input_conv=False)
         self.params: Params = params if params is not None else self.init_params(seed)
 
     # ------------------------------------------------------------------ params
@@ -246,6 +281,71 @@ class DAC:
     def _decode_fn(self, params: Params, z_q: jax.Array) -> jax.Array:
         return self.decoder(params, z_q.astype(self.decoder_dtype)).astype(jnp.float32)
 
+    # ------------------------------------------------- chunked-batch execution
+
+    def _auto_chunks(self, frames: int) -> int:
+        """Largest chunk count (<=8) whose overlap windows still pay off."""
+        for n in (8, 4, 2):
+            enc_ok = plan_chunks(frames * (self.hop_length // self._enc_early_ratio),
+                                 n, self._enc_early_halo) is not None
+            dec_ok = plan_chunks(frames * self._dec_head_ratio,
+                                 n, self._dec_tail_halo) is not None
+            if enc_ok and dec_ok:
+                return n
+        return 1
+
+    def _encoder_staged(self, params: Params, audio: jax.Array,
+                        n_chunks: int) -> jax.Array:
+        """Encoder with the long-T early stages chunk-batched; exact."""
+        f_early = audio.shape[1] // self._enc_early_ratio
+        plan = plan_chunks(f_early, n_chunks, self._enc_early_halo)
+        x = audio.astype(self.compute_dtype)
+        if audio.shape[0] != 1 or plan is None:
+            return self.encoder(params, x)
+        chunks = split_chunks(x, plan, scale=self._enc_early_ratio)
+        h = self._enc_early(params, chunks)
+        h = stitch_chunks(h, plan)
+        return self._enc_late(params, h)
+
+    def _decode_chunked_fn(self, params: Params, z_q: jax.Array,
+                           n_chunks: int) -> jax.Array:
+        """z_q [1, F, D] -> audio [1, F*hop, 1]; the in-conv + first block
+        run unchunked (short T), the narrow long-T tail chunk-batched;
+        exact (see ops/chunking.py)."""
+        h = self._dec_head(params, z_q.astype(self.decoder_dtype))
+        plan = plan_chunks(h.shape[1], n_chunks, self._dec_tail_halo)
+        if z_q.shape[0] != 1 or plan is None:
+            return self._dec_tail(params, h).astype(jnp.float32)
+        chunks = split_chunks(h, plan)
+        y = self._dec_tail(params, chunks).astype(jnp.float32)
+        return stitch_chunks(y, plan, scale=self._dec_tail_ratio)
+
+    def _forward_chunked_fn(self, params: Params, audio: jax.Array,
+                            n_quantizers: int | None, n_chunks: int):
+        """Whole round-trip with stage-level chunking; audio [1, T, 1] with
+        T % hop == 0. Falls back to the unchunked graph when chunking cannot
+        pay (short audio / batch input)."""
+        if audio.shape[0] != 1 or n_chunks <= 1:
+            return self._forward_fn(params, audio, n_quantizers)
+        z = self._encoder_staged(params, audio, n_chunks)
+        z_q, codes, latents, commit, cb = self._rvq(params, z, n_quantizers)
+        audio_hat = self._decode_chunked_fn(params, z_q, n_chunks)
+        return {
+            "audio": audio_hat,
+            "z": z_q,
+            "codes": codes,
+            "latents": latents,
+            "vq/commitment_loss": commit,
+            "vq/codebook_loss": cb,
+        }
+
+    def _encode_chunked_fn(self, params: Params, audio: jax.Array,
+                           n_quantizers: int | None, n_chunks: int):
+        if audio.shape[0] != 1 or n_chunks <= 1:
+            return self._encode_fn(params, audio, n_quantizers)
+        z = self._encoder_staged(params, audio, n_chunks)
+        return self._rvq(params, z, n_quantizers)
+
     def _from_latents_fn(self, params: Params, latents: jax.Array):
         """Continuous latents [B, T, sum(D_i)] -> (z_q, codes)
         (RVQ.FromLatents, ResidualVectorQuantizer.cs:240-297): slice each
@@ -268,7 +368,8 @@ class DAC:
     def from_latents(self, latents) -> jax.Array:
         """Latents (cat of per-stage z_e) -> decoded audio (DAC.FromLatents)."""
         z_q, _ = jax.jit(self._from_latents_fn)(self.params, jnp.asarray(latents))
-        return self._jit_decode(self.params, z_q)[:, :, 0]
+        n = self._auto_chunks(z_q.shape[1]) if z_q.shape[0] == 1 else 1
+        return self._jit_decode(self.params, z_q, n)[:, :, 0]
 
     def _from_codes_fn(self, params: Params, codes: jax.Array) -> jax.Array:
         """codes: [B, Nq, T] -> z_q [B, T, C] (RVQ.FromCodes :211-297)."""
@@ -281,15 +382,17 @@ class DAC:
 
     @functools.cached_property
     def _jit_forward(self):
-        return jax.jit(self._forward_fn, static_argnames=("n_quantizers",))
+        return jax.jit(self._forward_chunked_fn,
+                       static_argnames=("n_quantizers", "n_chunks"))
 
     @functools.cached_property
     def _jit_encode(self):
-        return jax.jit(self._encode_fn, static_argnames=("n_quantizers",))
+        return jax.jit(self._encode_chunked_fn,
+                       static_argnames=("n_quantizers", "n_chunks"))
 
     @functools.cached_property
     def _jit_decode(self):
-        return jax.jit(self._decode_fn)
+        return jax.jit(self._decode_chunked_fn, static_argnames=("n_chunks",))
 
     @functools.cached_property
     def _jit_from_codes(self):
@@ -308,18 +411,22 @@ class DAC:
 
     def forward(self, audio, n_quantizers: int | None = None) -> dict[str, Any]:
         a, length = self._prepare(audio)
-        out = self._jit_forward(self.params, a, n_quantizers)
+        n = self._auto_chunks(a.shape[1] // self.hop_length) if a.shape[0] == 1 else 1
+        out = self._jit_forward(self.params, a, n_quantizers, n)
         out["audio"] = out["audio"][:, :length, 0]
         return out
 
     def encode(self, audio, n_quantizers: int | None = None):
         """Returns (z_q, codes [B,Nq,T], latents, commit_loss, codebook_loss)."""
         a, _ = self._prepare(audio)
-        return self._jit_encode(self.params, a, n_quantizers)
+        n = self._auto_chunks(a.shape[1] // self.hop_length) if a.shape[0] == 1 else 1
+        return self._jit_encode(self.params, a, n_quantizers, n)
 
     def decode(self, z_q: jax.Array) -> jax.Array:
         """Latents [B, T, C] -> audio [B, T*hop]."""
-        return self._jit_decode(self.params, jnp.asarray(z_q))[:, :, 0]
+        z_q = jnp.asarray(z_q)
+        n = self._auto_chunks(z_q.shape[1]) if z_q.shape[0] == 1 else 1
+        return self._jit_decode(self.params, z_q, n)[:, :, 0]
 
     def from_codes(self, codes) -> jax.Array:
         """Code indices [B, Nq, T] -> decoded audio [B, T*hop] (DAC.FromCodes)."""
@@ -327,7 +434,8 @@ class DAC:
         if codes.ndim == 2:
             codes = codes[None]
         z_q = self._jit_from_codes(self.params, codes)
-        return self._jit_decode(self.params, z_q)[:, :, 0]
+        n = self._auto_chunks(z_q.shape[1]) if z_q.shape[0] == 1 else 1
+        return self._jit_decode(self.params, z_q, n)[:, :, 0]
 
     def encode_to_file(self, audio, path) -> None:
         """Encode audio and persist the codes as a .dac artifact

@@ -42,6 +42,13 @@ from neuralcodecs_tpu.models.layers import (
     WNConvTranspose1d,
 )
 from neuralcodecs_tpu.models.snac.config import SNACConfig
+from neuralcodecs_tpu.ops.chunking import (
+    conv_stack_receptive_field,
+    decoder_receptive_field_frames,
+    plan_chunks,
+    split_chunks,
+    stitch_chunks,
+)
 from neuralcodecs_tpu.ops.vq import codebook_lookup, l2_argmin_codes
 
 
@@ -225,6 +232,27 @@ class SNAC:
         self.decoder = Sequential(dec_layers)
 
         self._modules = [self.encoder, *self.quantizers, self.decoder]
+        # staged chunked execution (ops/chunking.py, mirrors DAC): the long-T
+        # narrow-C early encoder / decoder tail run chunk-batched with small
+        # per-stage halos; the deep stages (incl. LocalMHA) stay unchunked so
+        # attention windows and the RVQ see the exact full stream.
+        n_eb = max(len(cfg.encoder_rates) - 1, 0)
+        self._enc_early = Sequential(enc_layers[: 1 + n_eb])
+        self._enc_late = Sequential(enc_layers[1 + n_eb:])
+        self._enc_early_ratio = int(np.prod(cfg.encoder_rates[:n_eb])) if n_eb else 1
+        rf_early = conv_stack_receptive_field(
+            7, list(cfg.encoder_rates[:n_eb]), last_kernel=None)
+        self._enc_early_halo = -(-rf_early // self._enc_early_ratio) + 2
+
+        first_block_idx = next(
+            (i for i, l in enumerate(dec_layers) if isinstance(l, _DecoderBlock)),
+            len(dec_layers))
+        self._dec_head_layers = dec_layers[: first_block_idx + 1]
+        self._dec_tail_layers = dec_layers[first_block_idx + 1:]
+        self._dec_head_ratio = cfg.decoder_rates[0] if cfg.decoder_rates else 1
+        self._dec_tail_ratio = self.hop_length // self._dec_head_ratio
+        self._dec_tail_halo = decoder_receptive_field_frames(
+            list(cfg.decoder_rates[1:]), include_input_conv=False)
         self.params: Params = params if params is not None else self.init_params(seed)
 
     # ------------------------------------------------------------------ params
@@ -296,19 +324,121 @@ class SNAC:
         audio_hat = self._run_decoder(params, z_q, rng).astype(jnp.float32)
         return audio_hat, codes
 
+    # ------------------------------------------------- chunked-batch execution
+
+    def _auto_chunks(self, samples: int) -> int:
+        """Largest chunk count (<=8) whose overlap windows still pay off."""
+        for n in (8, 4, 2):
+            enc_ok = plan_chunks(samples // self._enc_early_ratio,
+                                 n, self._enc_early_halo) is not None
+            dec_ok = plan_chunks(
+                samples // self.hop_length * self._dec_head_ratio,
+                n, self._dec_tail_halo) is not None
+            if enc_ok and dec_ok:
+                return n
+        return 1
+
+    def _encoder_staged(self, params: Params, audio: jax.Array,
+                        n_chunks: int) -> jax.Array:
+        """Encoder with the long-T early stages chunk-batched; exact. The
+        late stage (last block + LocalMHA + depthwise conv) runs on the full
+        stitched stream, so attention windows are identical to unchunked."""
+        f_early = audio.shape[1] // self._enc_early_ratio
+        plan = plan_chunks(f_early, n_chunks, self._enc_early_halo)
+        x = audio.astype(self.compute_dtype)
+        if audio.shape[0] != 1 or plan is None:
+            return self.encoder(params, x)
+        chunks = split_chunks(x, plan, scale=self._enc_early_ratio)
+        h = self._enc_early(params, chunks)
+        return self._enc_late(params, stitch_chunks(h, plan))
+
+    def _run_decoder_staged(self, params: Params, z_q: jax.Array,
+                            rng: jax.Array | None, n_chunks: int) -> jax.Array:
+        """Decoder head (convs + LocalMHA + first block) unchunked, narrow
+        long-T tail chunk-batched. With noise enabled the chunked tail draws
+        a different (still i.i.d.) noise pattern than unchunked."""
+        x = z_q.astype(self.decoder_dtype)
+        for layer in self._dec_head_layers:
+            if isinstance(layer, _DecoderBlock):
+                sub = None
+                if rng is not None:
+                    rng, sub = jax.random.split(rng)
+                x = layer(params, x, sub)
+            else:
+                x = layer(params, x)
+        plan = plan_chunks(x.shape[1], n_chunks, self._dec_tail_halo)
+        if z_q.shape[0] != 1 or plan is None:
+            for layer in self._dec_tail_layers:
+                if isinstance(layer, _DecoderBlock):
+                    sub = None
+                    if rng is not None:
+                        rng, sub = jax.random.split(rng)
+                    x = layer(params, x, sub)
+                else:
+                    x = layer(params, x)
+            return x
+        x = split_chunks(x, plan)
+        for layer in self._dec_tail_layers:
+            if isinstance(layer, _DecoderBlock):
+                sub = None
+                if rng is not None:
+                    rng, sub = jax.random.split(rng)
+                x = layer(params, x, sub)
+            else:
+                x = layer(params, x)
+        return stitch_chunks(x, plan, scale=self._dec_tail_ratio)
+
+    def _forward_chunked_fn(self, params: Params, audio: jax.Array,
+                            rng: jax.Array | None, n_chunks: int):
+        if audio.shape[0] != 1 or n_chunks <= 1:
+            return self._forward_fn(params, audio, rng)
+        z = self._encoder_staged(params, audio, n_chunks)
+        residual = z.astype(jnp.float32)
+        z_q = jnp.zeros_like(residual)
+        codes = []
+        for vq in self.quantizers:
+            z_q_i, codes_i = vq.forward(params, residual)
+            residual = residual - z_q_i
+            z_q = z_q + z_q_i
+            codes.append(codes_i)
+        audio_hat = self._run_decoder_staged(params, z_q, rng,
+                                             n_chunks).astype(jnp.float32)
+        return audio_hat, codes
+
+    def _encode_chunked_fn(self, params: Params, audio: jax.Array,
+                           n_chunks: int) -> list[jax.Array]:
+        if audio.shape[0] != 1 or n_chunks <= 1:
+            return self._encode_fn(params, audio)
+        z = self._encoder_staged(params, audio, n_chunks)
+        codes = []
+        residual = z.astype(jnp.float32)
+        for vq in self.quantizers:
+            z_q_i, codes_i = vq.forward(params, residual)
+            residual = residual - z_q_i
+            codes.append(codes_i)
+        return codes
+
+    def _decode_chunked_fn(self, params: Params, codes: Sequence[jax.Array],
+                           rng: jax.Array | None, n_chunks: int) -> jax.Array:
+        z_q = self.quantizers[0].decode_code(params, codes[0])
+        for vq, c in zip(self.quantizers[1:], codes[1:]):
+            z_q = z_q + vq.decode_code(params, c)
+        return self._run_decoder_staged(params, z_q, rng,
+                                        n_chunks).astype(jnp.float32)
+
     # ------------------------------------------------------------- public API
 
     @functools.cached_property
     def _jit_forward(self):
-        return jax.jit(self._forward_fn)
+        return jax.jit(self._forward_chunked_fn, static_argnames=("n_chunks",))
 
     @functools.cached_property
     def _jit_encode(self):
-        return jax.jit(self._encode_fn)
+        return jax.jit(self._encode_chunked_fn, static_argnames=("n_chunks",))
 
     @functools.cached_property
     def _jit_decode(self):
-        return jax.jit(self._decode_fn)
+        return jax.jit(self._decode_chunked_fn, static_argnames=("n_chunks",))
 
     def _prepare(self, audio: np.ndarray | jax.Array) -> tuple[jax.Array, int]:
         """[T] | [B, T] | [B, 1, T] -> padded [B, T', 1] + original length."""
@@ -330,18 +460,23 @@ class SNAC:
     def forward(self, audio, rng: jax.Array | None = None):
         """Round-trip: returns (audio_hat [B, T], codes list)."""
         a, length = self._prepare(audio)
-        audio_hat, codes = self._jit_forward(self.params, a, self._noise_rng(rng))
+        n = self._auto_chunks(a.shape[1]) if a.shape[0] == 1 else 1
+        audio_hat, codes = self._jit_forward(self.params, a,
+                                             self._noise_rng(rng), n)
         return audio_hat[:, :length, 0], codes
 
     def encode(self, audio) -> list[jax.Array]:
         """Audio -> list of per-stage code index arrays [B, frames_i]."""
         a, _ = self._prepare(audio)
-        return self._jit_encode(self.params, a)
+        n = self._auto_chunks(a.shape[1]) if a.shape[0] == 1 else 1
+        return self._jit_encode(self.params, a, n)
 
     def decode(self, codes: Sequence, rng: jax.Array | None = None) -> jax.Array:
         codes = [jnp.asarray(c, dtype=jnp.int32) for c in codes]
         codes = [c[None, :] if c.ndim == 1 else c for c in codes]
-        audio = self._jit_decode(self.params, codes, self._noise_rng(rng))
+        samples = codes[-1].shape[-1] * self.hop_length  # stride-1 stage is last
+        n = self._auto_chunks(samples) if codes[0].shape[0] == 1 else 1
+        audio = self._jit_decode(self.params, codes, self._noise_rng(rng), n)
         return audio[:, :, 0]
 
     def process_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:

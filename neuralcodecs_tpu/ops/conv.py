@@ -83,15 +83,15 @@ def conv_transpose1d(
     """
     weight = weight.astype(x.dtype)
     k = weight.shape[0]
+    if stride > 1 and dilation == 1 and groups == 1:
+        return _conv_transpose_polyphase(x, weight, bias, stride=stride,
+                                         padding=padding,
+                                         output_padding=output_padding)
     # NOTE: XLA's lhs_dilation path miscompiles asymmetric-padding cases
     # (odd stride + output_padding=1, e.g. SNAC 44k's stride-3 decoder block)
     # on both CPU and TPU backends (observed jax 0.9), and is ~20% slower
     # than explicit zero-stuffing even where correct (v5e: 158x vs 203x
-    # SNAC-24k round-trip). Einsum+fold reformulations (tap matmul + either
-    # strided scatter or frame/sub-position adds) win on isolated
-    # weight-heavy stages (3.6x on the stride-8 1024->512 stage) but LOSE
-    # end-to-end (190x/179x vs 204x) — the fold writes fight TPU layouts at
-    # the long-T low-C stages. Zero-stuff via reshape; XLA fuses it.
+    # SNAC-24k round-trip). Zero-stuff via reshape; XLA fuses it.
     lo = dilation * (k - 1) - padding
     hi = dilation * (k - 1) - padding + output_padding
     if stride > 1:
@@ -109,6 +109,74 @@ def conv_transpose1d(
         precision=_precision_for(x.dtype),
         preferred_element_type=x.dtype,
     )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _polyphase_weight(k: int, stride: int, padding: int):
+    """Static tap bookkeeping for the polyphase transpose conv.
+
+    Returns (k_eff, d_min, taps) where taps[r] is the list of
+    (d, j) pairs: output phase r takes original tap j at input offset
+    d_min + d.
+    """
+    lo = (k - 1) - padding
+    taps: list[list[tuple[int, int]]] = []
+    bases = []
+    for r in range(stride):
+        j0 = (lo - r) % stride
+        base = (r + j0 - lo) // stride
+        ms = list(range(j0, k, stride))
+        bases.append((base, j0, ms))
+    d_min = min(b for b, _, ms in bases if ms)
+    d_max = max(b + len(ms) - 1 for b, _, ms in bases if ms)
+    k_eff = d_max - d_min + 1
+    for base, j0, ms in bases:
+        taps.append([(base - d_min + i, j) for i, j in enumerate(ms)])
+    return k_eff, d_min, taps
+
+
+def _conv_transpose_polyphase(x, weight, bias, *, stride, padding,
+                              output_padding):
+    """Transpose conv WITHOUT zero-stuffing: one stride-1 conv producing all
+    ``stride`` output phases as channels, then a row-major reshape.
+
+    The zero-stuffed formulation makes XLA run the full K-tap window over a
+    stride-times-longer tensor of mostly zeros and drags T(1,128)-tiled
+    re-layout fusions through the long-T decoder stages (XPlane profile,
+    round 2). Here the kernel is regrouped per output phase
+    (y[s·q+r] = Σ_m W[j0(r)+s·m]·x[q+base_r+m], all phases realized by ONE
+    [K_eff, Cin, s·Cout] conv with K_eff = max tap span ≈ ceil(K/s)+1), so
+    the MXU contracts over the dense input and the only layout op left is
+    the final [B,Q,s,Cout]->[B,Q·s,Cout] interleave reshape.
+    """
+    b, t, cin = x.shape
+    k, _, cout = weight.shape
+    s = stride
+    t_out = (t - 1) * s - 2 * padding + k + output_padding
+    q_count = -(-t_out // s)  # ceil
+    k_eff, d_min, taps = _polyphase_weight(k, s, padding)
+
+    # W2[d, ci, r*cout+co] — zeros where phase r has no tap at offset d
+    w2 = jnp.zeros((k_eff, cin, s * cout), weight.dtype)
+    for r, pairs in enumerate(taps):
+        for d, j in pairs:
+            w2 = w2.at[d, :, r * cout:(r + 1) * cout].set(weight[j])
+
+    # y4[b, q, r*cout+co] = Σ_d W2[d]·x[b, q + d_min + d]
+    lo2 = -d_min
+    hi2 = (q_count - 1) + d_min + (k_eff - 1) - (t - 1)
+    out = lax.conv_general_dilated(
+        x,
+        w2,
+        window_strides=(1,),
+        padding=[(lo2, hi2)],
+        dimension_numbers=_DIMNUMS,
+        precision=_precision_for(x.dtype),
+        preferred_element_type=x.dtype,
+    )
+    out = out.reshape(b, q_count * s, cout)[:, :t_out, :]
     if bias is not None:
         out = out + bias
     return out
