@@ -174,41 +174,79 @@ def kmeans(key: jax.Array, samples: jax.Array, num_clusters: int,
 
 class VectorQuantizer(Layer):
     """Single VQ stage: optional in/out projection + EMA codebook
-    (Modules/Encodec/VectorQuantizer.cs:11-180). Encodec configs use
-    dim == codebook_dim, so projections are identity (omitted)."""
+    (Modules/Encodec/VectorQuantizer.cs:11-180). When ``codebook_dim``
+    differs from ``dim``, torch-``Linear`` projections bracket the codebook
+    (VectorQuantizer.cs:34-37); Encodec presets use dim == codebook_dim, so
+    the projections are identity (omitted from the param dict)."""
 
     def __init__(self, prefix: str, dim: int, codebook_size: int,
                  codebook_dim: int | None = None, *, decay: float = 0.99,
                  commitment_weight: float = 1.0):
         codebook_dim = codebook_dim or dim
-        if codebook_dim != dim:
-            raise NotImplementedError(
-                "Encodec presets use dim == codebook_dim; projections not needed")
         self.prefix = prefix
+        self.dim = dim
+        self.codebook_dim = codebook_dim
+        self.requires_projection = codebook_dim != dim
         self.codebook = EuclideanCodebook(f"{prefix}.codebook", codebook_dim,
                                           codebook_size, decay=decay)
         self.codebook_size = codebook_size
         self.commitment_weight = commitment_weight
 
     def init(self, key, params: Params) -> None:
-        self.codebook.init(key, params)
+        kcb, kin, kout = jax.random.split(key, 3)
+        self.codebook.init(kcb, params)
+        if self.requires_projection:
+            # torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+            # for both weight [out, in] and bias [out].
+            for name, fan_in, fan_out, k in (
+                    ("project_in", self.dim, self.codebook_dim, kin),
+                    ("project_out", self.codebook_dim, self.dim, kout)):
+                kw, kb = jax.random.split(k)
+                bound = 1.0 / math.sqrt(fan_in)
+                params[f"{self.prefix}.{name}.weight"] = jax.random.uniform(
+                    kw, (fan_out, fan_in), jnp.float32, -bound, bound)
+                params[f"{self.prefix}.{name}.bias"] = jax.random.uniform(
+                    kb, (fan_out,), jnp.float32, -bound, bound)
 
     def convert(self, sd: StateDict, params: Params) -> None:
         self.codebook.convert(sd, params)
+        if self.requires_projection:
+            for name in ("project_in", "project_out"):
+                for p in ("weight", "bias"):
+                    key = f"{self.prefix}.{name}.{p}"
+                    params[key] = jnp.asarray(_require(sd, key))
+
+    def _project(self, params: Params, x: jax.Array, name: str) -> jax.Array:
+        w = params[f"{self.prefix}.{name}.weight"]  # [out, in]
+        b = params[f"{self.prefix}.{name}.bias"]
+        return jnp.einsum("...i,oi->...o", x, w) + b
 
     def encode(self, params: Params, x: jax.Array) -> jax.Array:
-        """x: [B, T, D] -> codes [B, T]."""
+        """x: [B, T, D] -> codes [B, T] (VectorQuantizer.cs:67-74)."""
+        if self.requires_projection:
+            x = self._project(params, x, "project_in")
         return self.codebook.quantize(params, x)
 
     def decode(self, params: Params, codes: jax.Array) -> jax.Array:
-        return self.codebook.dequantize(params, codes)
+        """codes -> [B, T, D] (VectorQuantizer.cs:58-65)."""
+        q = self.codebook.dequantize(params, codes)
+        if self.requires_projection:
+            q = self._project(params, q, "project_out")
+        return q
 
     def forward(self, params: Params, x: jax.Array):
-        """Returns (quantized [B,T,D] straight-through, codes, commit_loss)."""
-        codes = self.encode(params, x)
-        quantized = self.decode(params, codes).astype(x.dtype)
+        """Returns (quantized [B,T,D] straight-through, codes, commit_loss).
+
+        Straight-through + commitment loss are computed in codebook space,
+        then projected back out (VectorQuantizer.cs:76-113)."""
+        if self.requires_projection:
+            x = self._project(params, x, "project_in")
+        codes = self.codebook.quantize(params, x)
+        quantized = self.codebook.dequantize(params, codes).astype(x.dtype)
         commit = jnp.mean((jax.lax.stop_gradient(quantized) - x) ** 2)
         quantized = x + jax.lax.stop_gradient(quantized - x)
+        if self.requires_projection:
+            quantized = self._project(params, quantized, "project_out")
         return quantized, codes, commit * self.commitment_weight
 
 
@@ -217,13 +255,15 @@ class ResidualVectorQuantizer(Layer):
     (Modules/Encodec/ResidualVectorQuantizer.cs:12-282)."""
 
     def __init__(self, prefix: str, dim: int, num_quantizers: int,
-                 codebook_size: int, *, decay: float = 0.99):
+                 codebook_size: int, *, codebook_dim: int | None = None,
+                 decay: float = 0.99):
         self.prefix = prefix
         self.dim = dim
         self.num_quantizers = num_quantizers
         self.codebook_size = codebook_size
         self.layers = [
-            VectorQuantizer(f"{prefix}.layers.{i}", dim, codebook_size, decay=decay)
+            VectorQuantizer(f"{prefix}.layers.{i}", dim, codebook_size,
+                            codebook_dim, decay=decay)
             for i in range(num_quantizers)
         ]
 

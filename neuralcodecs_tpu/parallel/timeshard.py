@@ -8,8 +8,14 @@ device encodes its slice plus `halo` samples of neighbor context
 encoder's receptive field, interior codes are bit-identical to the
 unsharded computation.
 
-Supports attention-free codec configs (SNAC-24k, DAC); windowed-attention
-configs would additionally require window-aligned shard boundaries.
+Windowed-attention configs (SNAC 32k/44.1k) are supported via
+window-aligned shard boundaries: LocalMHA windows are block-local with
+per-window RoPE positions (Modules/SNAC/LocalMHA.cs:87-96), so as long as
+every shard boundary and halo is a multiple of ``attn_window_size · hop``
+samples, the shard's window grid coincides with the global one and interior
+codes stay bit-identical. Because attention mixes the *whole* window, the
+conv halo is rounded up to whole windows and one extra window is added to
+cover the post-attention depthwise conv taps.
 """
 
 from __future__ import annotations
@@ -18,9 +24,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 
 def receptive_field(encoder_rates, kernel: int = 7, dilations=(1, 3, 9)) -> int:
@@ -44,23 +49,30 @@ def sharded_encode(model, mesh: Mesh, audio: jax.Array,
     [B, frames_i], identical to ``model.encode`` for halo ≥ receptive field.
     """
     cfg = model.config
-    if getattr(cfg, "attn_window_size", None):
-        raise NotImplementedError(
-            "time-sharded encode requires an attention-free config "
-            "(shard boundaries would split attention windows)")
     sp = mesh.shape["sp"]
     a = jnp.asarray(audio, jnp.float32)
     if a.ndim == 1:
         a = a[None, :]
     b, t = a.shape
 
-    # per-shard length: multiple of the code alignment unit
+    # per-shard length: multiple of the code alignment unit (pad_to is a
+    # multiple of attn_window_size · hop when attention is present, so the
+    # shard boundaries land on the global window grid)
     unit = cfg.pad_to
     shard_len = -(-t // (sp * unit)) * unit
     a = jnp.pad(a, ((0, 0), (0, sp * shard_len - t)))[..., None]  # [B, T', 1]
 
     if halo is None:
         halo = receptive_field(cfg.encoder_rates)
+        attn_w = getattr(cfg, "attn_window_size", None)
+        if attn_w:
+            # attention contaminates whole windows: frames whose conv inputs
+            # reach past the shard edge poison their entire window via
+            # softmax, and the post-attention depthwise k7 then reads ±3
+            # frames across the first clean window boundary. Round the conv
+            # halo up to whole windows and add one more window span.
+            span = attn_w * cfg.hop_length
+            halo = (-(-halo // span) + 1) * span
     halo = -(-halo // unit) * unit  # align halo to the frame unit
     if halo > shard_len:
         raise ValueError(
@@ -76,7 +88,7 @@ def sharded_encode(model, mesh: Mesh, audio: jax.Array,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(None, "sp", None)),
              out_specs=tuple(P(None, "sp") for _ in range(n_stages)),
-             check_rep=False)
+             check_vma=False)
     def encode_shard(params, chunk):
         idx = lax.axis_index("sp")
         # halo exchange: receive the left neighbor's tail and the right

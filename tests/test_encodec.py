@@ -175,3 +175,62 @@ def test_quantize_with_bandwidth_and_expiry(rng):
     assert not np.allclose(np.asarray(new_state.embed), np.asarray(state.embed))
     assert sample_vectors(jax.random.key(2), x.reshape(-1, 8), 5).shape == (5, 8)
     assert uniform_init(jax.random.key(3), (16, 8)).shape == (16, 8)
+
+
+def test_vq_projections_codebook_dim_differs(rng):
+    """VQ with codebook_dim != dim must bracket the codebook with torch-Linear
+    projections (VectorQuantizer.cs:34-37) and stay consistent between
+    encode/decode and forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.models.encodec.quantize import VectorQuantizer
+
+    vq = VectorQuantizer("vq", dim=12, codebook_size=32, codebook_dim=6)
+    assert vq.requires_projection
+    params = {}
+    vq.init(jax.random.key(0), params)
+    for name in ("project_in", "project_out"):
+        assert params[f"vq.{name}.weight"].shape in ((6, 12), (12, 6))
+        assert f"vq.{name}.bias" in params
+    assert params["vq.codebook.embed"].shape == (32, 6)
+
+    x = jnp.asarray(rng.standard_normal((2, 9, 12)), jnp.float32)
+    codes = vq.encode(params, x)
+    assert codes.shape == (2, 9)
+    deq = vq.decode(params, codes)
+    assert deq.shape == (2, 9, 12)
+
+    quantized, fcodes, commit = vq.forward(params, x)
+    np.testing.assert_array_equal(np.asarray(fcodes), np.asarray(codes))
+    assert quantized.shape == x.shape
+    assert np.isfinite(float(commit))
+
+    # convert() round-trips the projection params by torch name
+    sd = {k: np.asarray(v) for k, v in params.items()}
+    params2 = {}
+    vq.convert(sd, params2)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params2[k]), np.asarray(params[k]))
+
+    # straight-through: grads flow to the input and both projections
+    def loss_fn(p, xx):
+        q, _, c = vq.forward(p, xx)
+        return jnp.sum(q ** 2) + c
+
+    grads = jax.grad(loss_fn)(params, x)
+    assert float(jnp.abs(grads["vq.project_in.weight"]).sum()) > 0
+    assert float(jnp.abs(grads["vq.project_out.weight"]).sum()) > 0
+
+
+def test_vq_identity_when_dims_match(rng):
+    """dim == codebook_dim keeps the param dict projection-free."""
+    import jax
+
+    from neuralcodecs_tpu.models.encodec.quantize import VectorQuantizer
+
+    vq = VectorQuantizer("vq", dim=8, codebook_size=16)
+    assert not vq.requires_projection
+    params = {}
+    vq.init(jax.random.key(0), params)
+    assert not any("project" in k for k in params)

@@ -105,3 +105,28 @@ def test_discriminator_outputs(rng):
     g_loss = float(generator_loss(fake_out))
     fm = float(feature_matching_loss(fake_out, real_out))
     assert np.isfinite(d_loss) and np.isfinite(g_loss) and np.isfinite(fm)
+
+
+def test_time_sharded_encode_windowed_attention(rng):
+    """sp=8 encode with LocalMHA: window-aligned halos must reproduce the
+    unsharded codes (windows are block-local, LocalMHA.cs:87-96)."""
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+    from neuralcodecs_tpu.parallel.timeshard import sharded_encode
+
+    cfg = SNACConfig(sampling_rate=16000, encoder_dim=16, encoder_rates=[2, 4],
+                     decoder_dim=64, decoder_rates=[4, 2],
+                     attn_window_size=4, codebook_size=64, codebook_dim=8,
+                     vq_strides=[2, 1], noise=False, depthwise=False)
+    model = SNAC(cfg)
+    mesh = make_mesh(dp=1, tp=1, sp=8)
+    t = cfg.pad_to * 8 * 64 + 37
+    audio = (0.3 * rng.standard_normal(t)).astype(np.float32)
+
+    ref_codes = model.encode(audio)
+    got_codes = sharded_encode(model, mesh, audio)
+    assert len(got_codes) == len(ref_codes)
+    for stage, (ref, got) in enumerate(zip(ref_codes, got_codes)):
+        ref, got = np.asarray(ref), np.asarray(got)
+        assert got.shape == ref.shape, (stage, got.shape, ref.shape)
+        match = (ref == got).mean()
+        assert match > 0.99, f"stage {stage}: only {match:.4f} codes match"
