@@ -52,6 +52,18 @@ def cmd_roundtrip(args) -> int:
     from neuralcodecs_tpu.cli.visualize import audio_stats, compare_spectrograms
     from neuralcodecs_tpu.dsp.signal import AudioSignal
 
+    diag = None
+    if args.diagnostics:
+        from neuralcodecs_tpu.diagnostics.context import (
+            DiagnosticsContext, set_diagnostics)
+
+        diag = DiagnosticsContext(dump_dir=args.dump_dir)
+        set_diagnostics(diag)
+        if args.events:
+            from neuralcodecs_tpu.diagnostics.eventsource import log as event_log
+
+            event_log.open_jsonl(args.events)
+
     signal = AudioSignal.load(args.input).to_mono()
     model = _load_codec(args.codec, args.model, args.preset)
     audio = np.asarray(signal.audio_data[0, 0])
@@ -59,6 +71,9 @@ def cmd_roundtrip(args) -> int:
     start = time.perf_counter()
     out = model.process_audio(audio, signal.sample_rate)
     elapsed = time.perf_counter() - start
+
+    if diag is not None:
+        print(diag.summary(), file=sys.stderr)
 
     sr = model.config.sample_rate
     AudioSignal(out, sr).write(args.output)
@@ -193,7 +208,15 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--preset", help="e.g. 24khz / 44khz / 48khz")
     rt.add_argument("--spectrograms", action="store_true",
                     help="write before/after/diff spectrogram images")
-    rt.set_defaults(fn=cmd_roundtrip)
+    rt.add_argument("--diagnostics", action="store_true",
+                    help="route per-stage tensor stats + timings through "
+                         "DiagnosticsContext (summary on stderr)")
+    rt.add_argument("--dump-dir", default=None,
+                    help="with --diagnostics: dump logged tensors as .npy here")
+    rt.add_argument("--events", default=None,
+                    help="with --diagnostics: stream live events to this "
+                         ".jsonl file (ETW analog)")
+    rt.set_defaults(fn=cmd_roundtrip, operation="encoding")
 
     cp = sub.add_parser("compress", help="compress WAV to .ecdc")
     cp.add_argument("--input", required=True)
@@ -202,14 +225,14 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--preset")
     cp.add_argument("--bandwidth", type=float)
     cp.add_argument("--lm", action="store_true", help="use the LM entropy coder")
-    cp.set_defaults(fn=cmd_compress)
+    cp.set_defaults(fn=cmd_compress, operation="encoding")
 
     dc = sub.add_parser("decompress", help="decompress .ecdc to WAV")
     dc.add_argument("--input", required=True)
     dc.add_argument("--output", required=True)
     dc.add_argument("--model")
     dc.add_argument("--preset")
-    dc.set_defaults(fn=cmd_decompress)
+    dc.set_defaults(fn=cmd_decompress, operation="decoding")
 
     tts = sub.add_parser("tts", help="Dia text-to-speech")
     tts.add_argument("--text", required=True)
@@ -220,7 +243,7 @@ def build_parser() -> argparse.ArgumentParser:
     tts.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     tts.add_argument("--int8", action="store_true",
                      help="weight-only int8 (fastest serving config)")
-    tts.set_defaults(fn=cmd_tts)
+    tts.set_defaults(fn=cmd_tts, operation="encoding")
 
     be = sub.add_parser("bench", help="run the benchmark suite")
     be.set_defaults(fn=cmd_bench)
@@ -231,8 +254,23 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from neuralcodecs_tpu.core.operations import CodecOperation, OperationResult
+
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    operation = CodecOperation(getattr(args, "operation", "initialization"))
+    try:
+        return args.fn(args)
+    except KeyboardInterrupt:
+        raise
+    except Exception as exc:
+        result = OperationResult.from_error(exc)
+        print(json.dumps({
+            "success": False,
+            "operation": operation.value,
+            "error": type(exc).__name__,
+            "message": result.message,
+        }), file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

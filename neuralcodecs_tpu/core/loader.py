@@ -16,8 +16,9 @@ from pathlib import Path
 from typing import Any
 
 from neuralcodecs_tpu.core.cache import ModelCache
-from neuralcodecs_tpu.core.events import EventEmitter, LoadProgress
+from neuralcodecs_tpu.core.events import EventEmitter, LoadErrorEvent, LoadProgress
 from neuralcodecs_tpu.core.exceptions import ConfigurationError, LoadError
+from neuralcodecs_tpu.core.operations import OperationResult
 from neuralcodecs_tpu.core.files import is_valid_model_file
 from neuralcodecs_tpu.core.importer import import_checkpoint
 from neuralcodecs_tpu.core.registry import registry
@@ -116,6 +117,39 @@ class ModelLoader(EventEmitter):
     # -- main entry ----------------------------------------------------------
 
     def load(
+        self,
+        architecture: str,
+        source: str,
+        config: Any | None = None,
+        options: LoadOptions | None = None,
+        **model_kwargs: Any,
+    ) -> Any:
+        try:
+            return self._load(architecture, source, config, options, **model_kwargs)
+        except Exception as exc:
+            # route failures through the error-event channel before raising
+            # (TorchModelLoader.cs:61-66 OnError + OperationResult.cs:8-40)
+            self.emit_error(LoadErrorEvent(source, exc, fatal=True))
+            raise
+
+    def try_load(
+        self,
+        architecture: str,
+        source: str,
+        config: Any | None = None,
+        options: LoadOptions | None = None,
+        **model_kwargs: Any,
+    ) -> "OperationResult[Any]":
+        """Non-throwing variant: returns an OperationResult success/error
+        record (OperationResult.cs:8-40), for batch pipelines."""
+        try:
+            model = self._load(architecture, source, config, options, **model_kwargs)
+        except Exception as exc:
+            self.emit_error(LoadErrorEvent(source, exc, fatal=True))
+            return OperationResult.from_error(exc)
+        return OperationResult.from_success(model)
+
+    def _load(
         self,
         architecture: str,
         source: str,

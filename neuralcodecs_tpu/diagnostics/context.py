@@ -23,6 +23,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from neuralcodecs_tpu.diagnostics.eventsource import log as event_log
+
 
 @dataclass
 class TensorStats:
@@ -79,15 +81,19 @@ class DiagnosticsContext:
         )
         entry = self.modules.setdefault(module, ModuleStats(module))
         entry.tensor_stats.append(stats)
+        event_log.tensor_stats(module, name, stats.min, stats.max,
+                               str(stats.shape))
         if stats.has_anomaly:
-            self.anomalies.append(
-                f"{module}.{name}: {stats.nan_count} NaN / {stats.inf_count} Inf")
+            desc = f"{module}.{name}: {stats.nan_count} NaN / {stats.inf_count} Inf"
+            self.anomalies.append(desc)
+            event_log.anomaly_detected(module, desc)
         elif stats.std > 0:
             z = max(abs(stats.max - stats.mean), abs(stats.min - stats.mean)) / stats.std
             if z > self.anomaly_z_threshold:
-                self.anomalies.append(
-                    f"{module}.{name}: outlier z={z:.1f} (range [{stats.min:.3g}, "
-                    f"{stats.max:.3g}])")
+                desc = (f"{module}.{name}: outlier z={z:.1f} (range "
+                        f"[{stats.min:.3g}, {stats.max:.3g}])")
+                self.anomalies.append(desc)
+                event_log.anomaly_detected(module, desc)
         if self.dump_dir is not None:
             self.dump_tensor(f"{module}.{name}", arr)
         return stats
@@ -103,6 +109,7 @@ class DiagnosticsContext:
             entry = self.modules.setdefault(module, ModuleStats(module))
             entry.calls += 1
             entry.total_seconds += elapsed
+            event_log.module_execution(module, elapsed * 1e3)
 
     # ----------------------------------------------------------------- dumps
 

@@ -453,11 +453,25 @@ class DAC:
         return self.from_codes(codes[0])
 
     def process_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+        from neuralcodecs_tpu.diagnostics.context import get_diagnostics
+
         audio = np.asarray(audio, dtype=np.float32)
         if sample_rate != self.config.sample_rate:
             from neuralcodecs_tpu.dsp.resample import resample_poly
 
             audio = np.asarray(resample_poly(audio, sample_rate, self.config.sample_rate))
+        diag = get_diagnostics()
+        if diag.enabled:
+            diag.log_tensor("dac", "input", audio)
+            with diag.track_scope("dac.encode"):
+                z_q, codes, latents, _, _ = self.encode(audio)
+                z_q = np.asarray(z_q)
+            diag.log_tensor("dac.encode", "codes", np.asarray(codes))
+            diag.log_tensor("dac.encode", "latents", np.asarray(latents))
+            with diag.track_scope("dac.decode"):
+                out = np.asarray(self.decode(z_q))
+            diag.log_tensor("dac.decode", "audio_out", out)
+            return out[0, : audio.shape[-1]]
         out = self.forward(audio)
         return np.asarray(out["audio"][0])
 

@@ -250,11 +250,27 @@ class Encodec:
         return out[..., : x.shape[1]]
 
     def process_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+        from neuralcodecs_tpu.diagnostics.context import get_diagnostics
+
         audio = np.asarray(audio, dtype=np.float32)
         if sample_rate != self.config.sample_rate:
             from neuralcodecs_tpu.dsp.resample import resample_poly
 
             audio = np.asarray(resample_poly(audio, sample_rate, self.config.sample_rate))
+        diag = get_diagnostics()
+        if diag.enabled:
+            x = self._prepare(audio)
+            diag.log_tensor("encodec", "input", audio)
+            with diag.track_scope("encodec.encode"):
+                frames = self.encode(audio)
+                jax.block_until_ready([f.codes for f in frames])
+            for i, f in enumerate(frames):
+                diag.log_tensor("encodec.encode", f"frame_{i}_codes",
+                                np.asarray(f.codes))
+            with diag.track_scope("encodec.decode"):
+                out = np.asarray(self.decode(frames))[..., : x.shape[1]]
+            diag.log_tensor("encodec.decode", "audio_out", out)
+            return out[0, 0] if out.ndim == 3 else out
         out = self.forward(audio)
         return np.asarray(out[0, 0] if out.ndim == 3 else out)
 

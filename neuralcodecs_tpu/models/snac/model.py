@@ -482,11 +482,26 @@ class SNAC:
     def process_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
         """Resample-if-needed + round-trip; mirrors SNAC.ProcessAudio
         (Models/SNAC.cs:255-284)."""
+        from neuralcodecs_tpu.diagnostics.context import get_diagnostics
+
         audio = np.asarray(audio, dtype=np.float32)
         if sample_rate != self.config.sample_rate:
             from neuralcodecs_tpu.dsp.resample import linear_resample
 
             audio = np.asarray(linear_resample(audio, sample_rate, self.config.sample_rate))
+        diag = get_diagnostics()
+        if diag.enabled:
+            # staged execution so the context sees per-phase timings + codes
+            # (DiagnosticsContext.cs:121-151 hand-wires the same way)
+            diag.log_tensor("snac", "input", audio)
+            with diag.track_scope("snac.encode"):
+                codes = [np.asarray(c) for c in self.encode(audio)]
+            for i, c in enumerate(codes):
+                diag.log_tensor("snac.encode", f"codes_{i}", c)
+            with diag.track_scope("snac.decode"):
+                out = np.asarray(self.decode(codes))
+            diag.log_tensor("snac.decode", "audio_out", out)
+            return out[0, : audio.shape[-1]]
         out, _ = self.forward(audio)
         return np.asarray(out[0] if out.ndim == 2 else out)
 

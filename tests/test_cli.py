@@ -36,3 +36,75 @@ def test_spectrogram_outputs(tmp_path, rng):
     assert (tmp_path / "compare_diff.ppm").exists()
     s = audio_stats(tone, sr)
     assert abs(s["duration_s"] - 0.5) < 1e-6
+
+
+def test_cli_roundtrip_with_diagnostics(tmp_path, rng, capsys):
+    """--diagnostics routes per-stage stats through DiagnosticsContext and
+    prints a summary; errors surface as OperationResult JSON on stderr."""
+    import wave
+
+    from neuralcodecs_tpu.cli.main import main
+    from neuralcodecs_tpu.diagnostics.context import (
+        NullDiagnosticsContext, set_diagnostics)
+    from neuralcodecs_tpu.models.snac import SNACConfig
+
+    sr = 16000
+    x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr)).astype(np.float32)
+    wav_in = tmp_path / "in.wav"
+    with wave.open(str(wav_in), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x * 32767).astype(np.int16).tobytes())
+
+    # patch in a tiny preset so the test stays fast
+    tiny = lambda: SNACConfig(  # noqa: E731
+        sampling_rate=16000, encoder_dim=8, encoder_rates=[2, 4],
+        decoder_dim=32, decoder_rates=[4, 2], attn_window_size=None,
+        codebook_size=32, codebook_dim=4, vq_strides=[2, 1],
+        noise=False, depthwise=False)
+    import neuralcodecs_tpu.cli.main as cli_main
+    orig = cli_main._load_codec
+
+    def load_tiny(codec, model_path, preset):
+        from neuralcodecs_tpu.models.snac import SNAC
+        return SNAC(tiny())
+
+    cli_main._load_codec = load_tiny
+    try:
+        rc = main(["roundtrip", "--input", str(wav_in),
+                   "--output", str(tmp_path / "out.wav"), "--diagnostics"])
+    finally:
+        cli_main._load_codec = orig
+        set_diagnostics(NullDiagnosticsContext())
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Diagnostics summary" in err
+    assert "snac.encode" in err and "snac.decode" in err
+
+
+def test_cli_error_reports_operation_result(tmp_path, capsys):
+    from neuralcodecs_tpu.cli.main import main
+
+    rc = main(["roundtrip", "--input", str(tmp_path / "missing.wav"),
+               "--output", str(tmp_path / "out.wav")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    import json
+    line = [l for l in err.strip().splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["success"] is False
+    assert rec["operation"] == "encoding"
+
+
+def test_loader_try_load_returns_operation_result(tmp_path):
+    from neuralcodecs_tpu.core.loader import LoadOptions, ModelLoader
+    from neuralcodecs_tpu.core.events import LoadErrorEvent
+
+    loader = ModelLoader()
+    seen: list[LoadErrorEvent] = []
+    loader.on_error(seen.append)
+    result = loader.try_load("snac", str(tmp_path / "nope.pt"),
+                             options=LoadOptions())
+    assert result.success is False
+    assert result.error is not None and seen and seen[0].fatal

@@ -69,3 +69,43 @@ def test_nan_guard():
     guarded(jnp.asarray([1.0, 2.0]))  # fine
     with pytest.raises(Exception):
         guarded(jnp.asarray([-1.0]))
+
+
+def test_codec_event_source_live_jsonl(tmp_path):
+    """The ETW-analog event source emits the three event kinds live
+    (CodecEventSource.cs:12-22) to subscribers and a JSONL file."""
+    import json
+    import time
+
+    from neuralcodecs_tpu.diagnostics.context import DiagnosticsContext
+    from neuralcodecs_tpu.diagnostics.eventsource import log as event_log
+
+    seen = []
+    sink = seen.append
+    path = tmp_path / "events.jsonl"
+    event_log.subscribe(sink)
+    event_log.open_jsonl(path)
+    try:
+        ctx = DiagnosticsContext()
+        with ctx.track_scope("enc"):
+            time.sleep(0.001)
+        ctx.log_tensor("enc", "z", np.array([1.0, 2.0, np.nan]))
+    finally:
+        event_log.unsubscribe(sink)
+        event_log.close()
+
+    kinds = [e["event"] for e in seen]
+    assert "ModuleExecution" in kinds
+    assert "TensorStats" in kinds
+    assert "AnomalyDetected" in kinds  # the NaN
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert len(lines) == len(seen)
+    assert all("ts" in l for l in lines)
+
+
+def test_codec_event_source_disabled_is_free():
+    from neuralcodecs_tpu.diagnostics.eventsource import CodecEventSource
+
+    src = CodecEventSource()
+    assert not src.enabled
+    src.module_execution("m", 1.0)  # no sink: must be a no-op
