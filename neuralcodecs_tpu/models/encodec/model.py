@@ -44,6 +44,10 @@ def _normalize_source_names(sd: StateDict) -> StateDict:
     for key, value in sd.items():
         key = key.replace("encoder.model.", "encoder.layers.")
         key = key.replace("decoder.model.", "decoder.layers.")
+        # time_group_norm checkpoints nest the GroupNorm under the Norm(Conv)
+        # wrapper: NormConv1d.norm (NormConv1d.cs) -> our flat ".norm."
+        key = key.replace(".conv.norm.", ".norm.")
+        key = key.replace(".convtr.norm.", ".norm.")
         key = key.replace(".conv.conv.", ".conv.")
         key = key.replace(".convtr.convtr.", ".conv.")
         key = key.replace("quantizer.vq.layers.", "quantizer.layers.")

@@ -49,6 +49,18 @@ class ConvTransposeT(nn.Module):
         return self.conv(x)
 
 
+class NoiseBlockT(nn.Module):
+    """Decoder noise injection (state-dict structure only: at eval the noise
+    term has zero mean, and the deterministic oracles never sample it)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.linear = ConvT(dim, dim, 1, bias=False)
+
+    def forward(self, x):
+        return x  # eval-time identity (E[noise] = 0)
+
+
 class ResidualUnitT(nn.Module):
     def __init__(self, dim, dilation=1, kernel=7, groups=1):
         super().__init__()
@@ -192,7 +204,10 @@ class SNACOracle(nn.Module):
             blk = [SnakeT(in_dim),
                    ConvTransposeT(in_dim, out_dim, 2 * rate, stride=rate,
                                   padding=math.ceil(rate / 2), output_padding=rate % 2)]
-            # noise disabled (deterministic oracle)
+            if getattr(cfg, "noise", False):
+                # forward is identity (eval-time noise has zero mean); only
+                # the state-dict structure matters for key-set fixtures
+                blk.append(NoiseBlockT(out_dim))
             blk += [ResidualUnitT(out_dim, d, groups=groups) for d in (1, 3, 9)]
             dec.append(nn.Sequential(*blk))
         dec += [SnakeT(out_dim), ConvT(out_dim, 1, 7, padding=3), nn.Tanh()]
