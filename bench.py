@@ -105,12 +105,13 @@ def bench_dac(decoder_dtype=None) -> float:
         model.params, a, seconds, iters=5, needs_key=False)
 
 
-def bench_encodec() -> float:
+def bench_encodec(decoder_dtype=None) -> float:
     import jax
+    import jax.numpy as jnp
 
     from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
 
-    model = Encodec(EncodecConfig.encodec_24khz())
+    model = Encodec(EncodecConfig.encodec_24khz(), decoder_dtype=decoder_dtype)
     seconds = 10.0
     n = int(model.config.sample_rate * seconds)
     rng = np.random.default_rng(0)
@@ -121,20 +122,22 @@ def bench_encodec() -> float:
         codes, _ = (lambda emb: (model.quantizer.encode(params, emb, n_q), None))(
             model.encoder(params, x))
         emb = model.quantizer.decode(params, codes)
-        return model.decoder(params, emb)
+        out = model.decoder(params, emb.astype(model.decoder_dtype))
+        return out.astype(jnp.float32)
 
     return _bench_forward(fwd, model.params, a, seconds, iters=5,
                           needs_key=False)
 
 
-def bench_encodec48() -> float:
+def bench_encodec48(decoder_dtype=None) -> float:
     """Encodec 48 kHz stereo (BASELINE.json config 3): one 1 s segment
     round-trip at 12 kbps through the jitted chunk path."""
     import jax
+    import jax.numpy as jnp
 
     from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
 
-    model = Encodec(EncodecConfig.encodec_48khz())
+    model = Encodec(EncodecConfig.encodec_48khz(), decoder_dtype=decoder_dtype)
     sr = model.config.sample_rate
     seconds = 1.0  # the 48k model is segmented into 1 s chunks
     rng = np.random.default_rng(0)
@@ -144,7 +147,10 @@ def bench_encodec48() -> float:
 
     def fwd(params, x, _key):
         codes = model.quantizer.encode(params, model.encoder(params, x), n_q)
-        return model.decoder(params, model.quantizer.decode(params, codes))
+        out = model.decoder(params,
+                            model.quantizer.decode(params, codes)
+                            .astype(model.decoder_dtype))
+        return out.astype(jnp.float32)
 
     return _bench_forward(fwd, model.params, a, seconds, iters=10,
                           needs_key=False)
@@ -266,6 +272,8 @@ def main() -> None:
     if "--mixed" in sys.argv:  # f32 encoder+RVQ (bit-exact codes), bf16 decoder
         _emit("snac24_mixed_roundtrip_xRT", bench_snac(decoder_dtype="bfloat16"))
         _emit("dac44_mixed_roundtrip_xRT", bench_dac(decoder_dtype="bfloat16"))
+        _emit("encodec24_mixed_roundtrip_xRT", bench_encodec(decoder_dtype="bfloat16"))
+        _emit("encodec48_mixed_roundtrip_xRT", bench_encodec48(decoder_dtype="bfloat16"))
     if "--int8" in sys.argv:  # weight-only int8 Dia (serving config)
         tok_s = bench_dia_int8()
         print(json.dumps({

@@ -25,6 +25,16 @@ from neuralcodecs_tpu.core.registry import registry
 from neuralcodecs_tpu.core.repos import repository_for_source
 
 
+def _pick_weights(candidates: list[Path], root: Path) -> Path:
+    """Pick the weights file by the repository preference order (safetensors
+    first, then shallowest/shortest path) instead of plain sort order."""
+    from neuralcodecs_tpu.core.repos import pick_model_file
+
+    rel = {str(f.relative_to(root)): f for f in candidates}
+    chosen = pick_model_file(list(rel))
+    return rel[chosen] if chosen else candidates[0]
+
+
 @dataclass
 class LoadOptions:
     """Counterpart of ModelLoadOptions (Core/Loading/ModelLoadOptions.cs:8)."""
@@ -63,7 +73,7 @@ class ModelLoader(EventEmitter):
                 candidates = [f for f in sorted(p.iterdir()) if is_valid_model_file(f)]
                 if not candidates:
                     raise LoadError(f"No model file found in directory {source}")
-                return candidates[0]
+                return _pick_weights(candidates, p)
             if not p.is_file():
                 raise LoadError(f"Model file not found: {source}")
             return p
@@ -82,7 +92,7 @@ class ModelLoader(EventEmitter):
         if not weight_files:
             self.cache.invalidate(source, options.revision)
             raise LoadError(f"Cached model for {source} has no weight file")
-        return weight_files[0]
+        return _pick_weights(weight_files, cached)
 
     @staticmethod
     def _is_native_export(weights_path: Path) -> bool:

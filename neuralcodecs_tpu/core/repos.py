@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import re
 import tempfile
+import urllib.error
 import urllib.request
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -181,6 +182,38 @@ class GitHubRepository:
         r"(?:/(?:releases/download/(?P<tag>[^/]+)|raw/(?P<branch>[^/]+))/(?P<path>.+))?"
     )
     API_CONTENTS = "https://api.github.com/repos/{owner}/{repo}/contents?ref={rev}"
+    API_RELEASE = "https://api.github.com/repos/{owner}/{repo}/releases/tags/{tag}"
+    API_LATEST = "https://api.github.com/repos/{owner}/{repo}/releases/latest"
+
+    @staticmethod
+    def _api_json(url: str, source: str):
+        """GitHub API GET with a rate-limit-aware error (the reference
+        surfaces rate limiting explicitly, GitHubRepository.cs:22-705)."""
+        try:
+            return json.loads(_http_get(url, {"Accept": "application/vnd.github+json"}))
+        except urllib.error.HTTPError as exc:
+            if exc.code in (403, 429) and \
+                    exc.headers.get("x-ratelimit-remaining") == "0":
+                reset = exc.headers.get("x-ratelimit-reset", "?")
+                raise RepositoryError(
+                    f"GitHub API rate limit exceeded for {source} "
+                    f"(resets at epoch {reset})", source) from exc
+            raise RepositoryError(f"GitHub query failed for {source} "
+                                  f"(HTTP {exc.code})", source) from exc
+        except Exception as exc:
+            raise RepositoryError(f"GitHub query failed for {source}", source) from exc
+
+    def _release_assets(self, owner: str, repo: str, revision: str,
+                        source: str) -> list[dict]:
+        """List release assets for a tag (or the latest release)."""
+        url = (self.API_LATEST.format(owner=owner, repo=repo)
+               if revision in ("main", "master", "latest")
+               else self.API_RELEASE.format(owner=owner, repo=repo, tag=revision))
+        try:
+            release = self._api_json(url, source)
+        except RepositoryError:
+            return []
+        return release.get("assets", []) or []
 
     def get_model_info(self, source: str, revision: str = "main") -> ModelInfo:
         m = self._URL_RE.search(source)
@@ -190,11 +223,8 @@ class GitHubRepository:
         if m.group("path"):
             return ModelInfo(f"{owner}/{repo}", m.group("tag") or m.group("branch") or revision,
                              [m.group("path")])
-        try:
-            raw = _http_get(self.API_CONTENTS.format(owner=owner, repo=repo, rev=revision))
-            listing = json.loads(raw)
-        except Exception as exc:
-            raise RepositoryError(f"GitHub query failed for {source}", source) from exc
+        listing = self._api_json(
+            self.API_CONTENTS.format(owner=owner, repo=repo, rev=revision), source)
         files = [e["path"] for e in listing if e.get("type") == "file"]
         return ModelInfo(f"{owner}/{repo}", revision, files)
 
@@ -210,6 +240,23 @@ class GitHubRepository:
             return out
         info = self.get_model_info(source, revision)
         model_file = pick_model_file(info.files)
+        if model_file is None and m:
+            # weights are often attached as release assets rather than
+            # committed (LFS-free repos); fall back to the releases API
+            assets = self._release_assets(m.group("owner"), m.group("repo"),
+                                          revision, source)
+            asset_names = [a.get("name", "") for a in assets]
+            model_file = pick_model_file(asset_names)
+            if model_file is not None:
+                by_name = {a.get("name", ""): a for a in assets}
+                config_file = pick_config_file(asset_names)
+                out = {}
+                for name in filter(None, [model_file, config_file]):
+                    url = by_name[name].get("browser_download_url")
+                    out[name] = _download_file(url, safe_join(dest, name),
+                                               events, source)
+                _validate_weights(out)
+                return out
         if model_file is None:
             raise RepositoryError(f"No weight file found in {source}", source)
         config_file = pick_config_file(info.files)

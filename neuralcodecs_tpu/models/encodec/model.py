@@ -60,7 +60,12 @@ class Encodec:
     """Public Encodec codec (API mirrors Models/Encodec.cs)."""
 
     def __init__(self, config: EncodecConfig | None = None, *,
-                 params: Params | None = None, seed: int = 0):
+                 params: Params | None = None, seed: int = 0,
+                 compute_dtype=None, decoder_dtype=None):
+        # mixed mode mirrors SNAC/DAC: f32 encoder + RVQ keep code indices
+        # bit-exact while the HBM/FLOP-heavy decoder runs bf16
+        self.compute_dtype = compute_dtype or jnp.float32
+        self.decoder_dtype = decoder_dtype or self.compute_dtype
         self.config = config or EncodecConfig()
         cfg = self.config
         if cfg.bandwidth is not None and cfg.bandwidth not in cfg.target_bandwidths:
@@ -157,8 +162,8 @@ class Encodec:
                 scale = volume + 1e-8                                # [B, 1, 1]
                 x = x / scale
                 scale = scale[:, 0, :]                               # [B, 1]
-            emb = self.encoder(params, x)
-            codes = self.quantizer.encode(params, emb, n_q)
+            emb = self.encoder(params, x.astype(self.compute_dtype))
+            codes = self.quantizer.encode(params, emb.astype(jnp.float32), n_q)
             return codes, scale
 
         return jax.jit(fn)
@@ -167,7 +172,8 @@ class Encodec:
     def _decode_frame_fn(self):
         def fn(params: Params, codes: jax.Array, scale: jax.Array | None):
             emb = self.quantizer.decode(params, codes)
-            out = self.decoder(params, emb)                          # [B, T, C]
+            out = self.decoder(params, emb.astype(self.decoder_dtype))
+            out = out.astype(jnp.float32)                            # [B, T, C]
             if scale is not None:
                 out = out * scale[:, :, None]
             return out

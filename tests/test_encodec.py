@@ -234,3 +234,27 @@ def test_vq_identity_when_dims_match(rng):
     params = {}
     vq.init(jax.random.key(0), params)
     assert not any("project" in k for k in params)
+
+
+def test_encodec_mixed_precision_codes_bit_exact(rng):
+    """decoder_dtype=bf16 keeps the f32 encoder+RVQ codes bit-exact and the
+    decoded audio close to the f32 path (mirrors SNAC/DAC mixed mode)."""
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.models.encodec import Encodec
+
+    cfg = tiny_config()
+    f32 = Encodec(cfg, seed=0)
+    mixed = Encodec(cfg, seed=0, decoder_dtype=jnp.bfloat16)
+    audio = (0.3 * rng.standard_normal(1600)).astype(np.float32)
+
+    frames_f = f32.encode(audio)
+    frames_m = mixed.encode(audio)
+    for ff, fm in zip(frames_f, frames_m):
+        np.testing.assert_array_equal(np.asarray(ff.codes), np.asarray(fm.codes))
+
+    out_f = np.asarray(f32.decode(frames_f))
+    out_m = np.asarray(mixed.decode(frames_m))
+    assert out_m.dtype == np.float32
+    assert np.isfinite(out_m).all()
+    assert np.abs(out_f - out_m).max() < 0.1

@@ -150,3 +150,72 @@ def test_progress_events(tmp_path, monkeypatch):
     emitter.on_progress(seen.append)
     emitter.emit_progress(LoadProgress("src", "download", 0.5))
     assert seen and seen[0].stage == "download"
+
+
+def test_resolve_prefers_safetensors_in_directory(tmp_path):
+    """Directory resolve must use the repo preference order (safetensors
+    first), not plain sort order."""
+    from neuralcodecs_tpu.core.loader import LoadOptions, ModelLoader
+
+    (tmp_path / "aaa.pt").write_bytes(b"PK\x03\x04" + b"0" * 100)
+    st = tmp_path / "zzz.safetensors"
+    import json as _json
+    header = _json.dumps({"__metadata__": {}}).encode()
+    st.write_bytes(len(header).to_bytes(8, "little") + header)
+    got = ModelLoader().resolve(str(tmp_path), LoadOptions())
+    assert got.name == "zzz.safetensors"
+
+
+def test_github_release_asset_fallback(tmp_path, monkeypatch):
+    """When the repo tree has no weights, the loader must fall back to
+    release assets (GitHubRepository.cs release handling)."""
+    import neuralcodecs_tpu.core.repos as repos_mod
+    from neuralcodecs_tpu.core.repos import GitHubRepository
+
+    calls = []
+
+    def fake_http_get(url, headers=None):
+        calls.append(url)
+        import json as _json
+        if "/contents" in url:
+            return _json.dumps([{ "path": "README.md", "type": "file" }]).encode()
+        if "/releases/" in url:
+            return _json.dumps({"assets": [
+                {"name": "weights.pt",
+                 "browser_download_url": "https://example.com/weights.pt"},
+                {"name": "config.json",
+                 "browser_download_url": "https://example.com/config.json"},
+            ]}).encode()
+        raise AssertionError(url)
+
+    def fake_download(url, dest, events=None, source=""):
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        dest.write_bytes(b"PK\x03\x04" + b"0" * 64)
+        return dest
+
+    monkeypatch.setattr(repos_mod, "_http_get", fake_http_get)
+    monkeypatch.setattr(repos_mod, "_download_file", fake_download)
+    out = GitHubRepository().download_model(
+        "https://github.com/owner/repo", "v1.0", tmp_path)
+    assert "weights.pt" in out and "config.json" in out
+    assert any("/releases/tags/v1.0" in c for c in calls)
+
+
+def test_github_rate_limit_error(monkeypatch):
+    import email.message
+    import urllib.error
+
+    import neuralcodecs_tpu.core.repos as repos_mod
+    from neuralcodecs_tpu.core.exceptions import RepositoryError
+    from neuralcodecs_tpu.core.repos import GitHubRepository
+
+    headers = email.message.Message()
+    headers["x-ratelimit-remaining"] = "0"
+    headers["x-ratelimit-reset"] = "12345"
+
+    def fake_http_get(url, h=None):
+        raise urllib.error.HTTPError(url, 403, "rate limited", headers, None)
+
+    monkeypatch.setattr(repos_mod, "_http_get", fake_http_get)
+    with pytest.raises(RepositoryError, match="rate limit"):
+        GitHubRepository().get_model_info("https://github.com/owner/repo")
