@@ -64,7 +64,7 @@ def _emit(metric: str, xrt: float) -> None:
     }))
 
 
-def bench_snac(compute_dtype=None, decoder_dtype=None) -> float:
+def bench_snac(compute_dtype=None, decoder_dtype=None, batch: int = 1) -> float:
     import jax
 
     from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
@@ -76,16 +76,16 @@ def bench_snac(compute_dtype=None, decoder_dtype=None) -> float:
     n = int(cfg.sample_rate * seconds)
     rng = np.random.default_rng(0)
     padded = -(-n // cfg.pad_to) * cfg.pad_to
-    a = np.zeros((1, padded, 1), np.float32)
-    a[:, :n, 0] = 0.25 * rng.standard_normal(n)
+    a = np.zeros((batch, padded, 1), np.float32)
+    a[:, :n, 0] = 0.25 * rng.standard_normal((batch, n))
     a = jax.device_put(a)
     chunks = model._auto_chunks(padded)
     return _bench_forward(
         lambda p, x, k: model._forward_chunked_fn(p, x, k, chunks)[0],
-        model.params, a, seconds)
+        model.params, a, seconds, iters=10 if batch == 1 else 5)
 
 
-def bench_dac(decoder_dtype=None) -> float:
+def bench_dac(decoder_dtype=None, batch: int = 1) -> float:
     import jax
 
     from neuralcodecs_tpu.models.dac import DAC, DACConfig
@@ -96,13 +96,14 @@ def bench_dac(decoder_dtype=None) -> float:
     n = int(cfg.sample_rate * seconds)
     rng = np.random.default_rng(0)
     padded = -(-n // cfg.hop_length) * cfg.hop_length
-    a = np.zeros((1, padded, 1), np.float32)
-    a[:, :n, 0] = 0.25 * rng.standard_normal(n)
+    a = np.zeros((batch, padded, 1), np.float32)
+    a[:, :n, 0] = 0.25 * rng.standard_normal((batch, n))
     a = jax.device_put(a)
     chunks = model._auto_chunks(padded // cfg.hop_length)
     return _bench_forward(
         lambda p, x, k: model._forward_chunked_fn(p, x, None, chunks)["audio"],
-        model.params, a, seconds, iters=5, needs_key=False)
+        model.params, a, seconds, iters=5 if batch == 1 else 3,
+        needs_key=False)
 
 
 def bench_encodec(decoder_dtype=None) -> float:
@@ -129,9 +130,13 @@ def bench_encodec(decoder_dtype=None) -> float:
                           needs_key=False)
 
 
-def bench_encodec48(decoder_dtype=None) -> float:
-    """Encodec 48 kHz stereo (BASELINE.json config 3): one 1 s segment
-    round-trip at 12 kbps through the jitted chunk path."""
+def bench_encodec48(decoder_dtype=None, batch: int = 4) -> float:
+    """Encodec 48 kHz stereo (BASELINE.json config 3): 1 s segments (the
+    model's chunking unit) round-tripped at 12 kbps through the jitted chunk
+    path. Single-segment throughput is bound by the serial SLSTM scan (150
+    steps x 4 layer-passes of latency-bound tiny matmuls), so per-chip
+    throughput is reported both at the historical batch 4 and at a serving
+    batch 64, where the scan latency amortizes across the whole batch."""
     import jax
     import jax.numpy as jnp
 
@@ -142,7 +147,7 @@ def bench_encodec48(decoder_dtype=None) -> float:
     seconds = 1.0  # the 48k model is segmented into 1 s chunks
     rng = np.random.default_rng(0)
     a = jax.device_put(0.25 * rng.standard_normal(
-        (4, int(sr * seconds), model.config.channels)).astype(np.float32))
+        (batch, int(sr * seconds), model.config.channels)).astype(np.float32))
     n_q = model.quantizer.num_quantizers_for_bandwidth(model.frame_rate, 12.0)
 
     def fwd(params, x, _key):
@@ -242,7 +247,7 @@ def main() -> None:
     import sys
 
     filter_flags = {"--snac", "--dac", "--enc24", "--enc48", "--dsp",
-                    "--dia", "--all"}
+                    "--dia", "--aggregate", "--all"}
     given = filter_flags & set(sys.argv[1:])
     full = not given or "--all" in given
 
@@ -265,8 +270,15 @@ def main() -> None:
         _emit("encodec24_roundtrip_xRT", bench_encodec())
     if want("--enc48"):
         _emit("encodec48_stereo_roundtrip_xRT", bench_encodec48())
+        _emit("encodec48_stereo_batch64_aggregate_xRT",
+              bench_encodec48(batch=64))
     if want("--dsp"):
         _emit("audiotools_dsp_pipeline_xRT", bench_dsp())
+    if want("--aggregate"):
+        # serving-batch aggregate throughput: per-stream work is partially
+        # latency-bound, so a batch of streams raises per-chip throughput
+        _emit("snac24_batch8_aggregate_xRT", bench_snac(batch=8))
+        _emit("dac44_batch8_aggregate_xRT", bench_dac(batch=8))
     if "--bf16" in sys.argv:  # separate flag: the remote bf16 compile is slow
         _emit("snac24_bf16_roundtrip_xRT", bench_snac(compute_dtype="bfloat16"))
     if "--mixed" in sys.argv:  # f32 encoder+RVQ (bit-exact codes), bf16 decoder

@@ -300,7 +300,7 @@ class DAC:
         f_early = audio.shape[1] // self._enc_early_ratio
         plan = plan_chunks(f_early, n_chunks, self._enc_early_halo)
         x = audio.astype(self.compute_dtype)
-        if audio.shape[0] != 1 or plan is None:
+        if plan is None:
             return self.encoder(params, x)
         chunks = split_chunks(x, plan, scale=self._enc_early_ratio)
         h = self._enc_early(params, chunks)
@@ -314,7 +314,7 @@ class DAC:
         exact (see ops/chunking.py)."""
         h = self._dec_head(params, z_q.astype(self.decoder_dtype))
         plan = plan_chunks(h.shape[1], n_chunks, self._dec_tail_halo)
-        if z_q.shape[0] != 1 or plan is None:
+        if plan is None:
             return self._dec_tail(params, h).astype(jnp.float32)
         chunks = split_chunks(h, plan)
         y = self._dec_tail(params, chunks).astype(jnp.float32)
@@ -325,7 +325,7 @@ class DAC:
         """Whole round-trip with stage-level chunking; audio [1, T, 1] with
         T % hop == 0. Falls back to the unchunked graph when chunking cannot
         pay (short audio / batch input)."""
-        if audio.shape[0] != 1 or n_chunks <= 1:
+        if n_chunks <= 1:
             return self._forward_fn(params, audio, n_quantizers)
         z = self._encoder_staged(params, audio, n_chunks)
         z_q, codes, latents, commit, cb = self._rvq(params, z, n_quantizers)
@@ -341,7 +341,7 @@ class DAC:
 
     def _encode_chunked_fn(self, params: Params, audio: jax.Array,
                            n_quantizers: int | None, n_chunks: int):
-        if audio.shape[0] != 1 or n_chunks <= 1:
+        if n_chunks <= 1:
             return self._encode_fn(params, audio, n_quantizers)
         z = self._encoder_staged(params, audio, n_chunks)
         return self._rvq(params, z, n_quantizers)
@@ -368,7 +368,7 @@ class DAC:
     def from_latents(self, latents) -> jax.Array:
         """Latents (cat of per-stage z_e) -> decoded audio (DAC.FromLatents)."""
         z_q, _ = jax.jit(self._from_latents_fn)(self.params, jnp.asarray(latents))
-        n = self._auto_chunks(z_q.shape[1]) if z_q.shape[0] == 1 else 1
+        n = self._auto_chunks(z_q.shape[1])
         return self._jit_decode(self.params, z_q, n)[:, :, 0]
 
     def _from_codes_fn(self, params: Params, codes: jax.Array) -> jax.Array:
@@ -411,7 +411,7 @@ class DAC:
 
     def forward(self, audio, n_quantizers: int | None = None) -> dict[str, Any]:
         a, length = self._prepare(audio)
-        n = self._auto_chunks(a.shape[1] // self.hop_length) if a.shape[0] == 1 else 1
+        n = self._auto_chunks(a.shape[1] // self.hop_length)
         out = self._jit_forward(self.params, a, n_quantizers, n)
         out["audio"] = out["audio"][:, :length, 0]
         return out
@@ -419,13 +419,13 @@ class DAC:
     def encode(self, audio, n_quantizers: int | None = None):
         """Returns (z_q, codes [B,Nq,T], latents, commit_loss, codebook_loss)."""
         a, _ = self._prepare(audio)
-        n = self._auto_chunks(a.shape[1] // self.hop_length) if a.shape[0] == 1 else 1
+        n = self._auto_chunks(a.shape[1] // self.hop_length)
         return self._jit_encode(self.params, a, n_quantizers, n)
 
     def decode(self, z_q: jax.Array) -> jax.Array:
         """Latents [B, T, C] -> audio [B, T*hop]."""
         z_q = jnp.asarray(z_q)
-        n = self._auto_chunks(z_q.shape[1]) if z_q.shape[0] == 1 else 1
+        n = self._auto_chunks(z_q.shape[1])
         return self._jit_decode(self.params, z_q, n)[:, :, 0]
 
     def from_codes(self, codes) -> jax.Array:
@@ -434,7 +434,7 @@ class DAC:
         if codes.ndim == 2:
             codes = codes[None]
         z_q = self._jit_from_codes(self.params, codes)
-        n = self._auto_chunks(z_q.shape[1]) if z_q.shape[0] == 1 else 1
+        n = self._auto_chunks(z_q.shape[1])
         return self._jit_decode(self.params, z_q, n)[:, :, 0]
 
     def encode_to_file(self, audio, path) -> None:

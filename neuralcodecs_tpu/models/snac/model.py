@@ -346,7 +346,7 @@ class SNAC:
         f_early = audio.shape[1] // self._enc_early_ratio
         plan = plan_chunks(f_early, n_chunks, self._enc_early_halo)
         x = audio.astype(self.compute_dtype)
-        if audio.shape[0] != 1 or plan is None:
+        if plan is None:
             return self.encoder(params, x)
         chunks = split_chunks(x, plan, scale=self._enc_early_ratio)
         h = self._enc_early(params, chunks)
@@ -367,7 +367,7 @@ class SNAC:
             else:
                 x = layer(params, x)
         plan = plan_chunks(x.shape[1], n_chunks, self._dec_tail_halo)
-        if z_q.shape[0] != 1 or plan is None:
+        if plan is None:
             for layer in self._dec_tail_layers:
                 if isinstance(layer, _DecoderBlock):
                     sub = None
@@ -390,7 +390,7 @@ class SNAC:
 
     def _forward_chunked_fn(self, params: Params, audio: jax.Array,
                             rng: jax.Array | None, n_chunks: int):
-        if audio.shape[0] != 1 or n_chunks <= 1:
+        if n_chunks <= 1:
             return self._forward_fn(params, audio, rng)
         z = self._encoder_staged(params, audio, n_chunks)
         residual = z.astype(jnp.float32)
@@ -407,7 +407,7 @@ class SNAC:
 
     def _encode_chunked_fn(self, params: Params, audio: jax.Array,
                            n_chunks: int) -> list[jax.Array]:
-        if audio.shape[0] != 1 or n_chunks <= 1:
+        if n_chunks <= 1:
             return self._encode_fn(params, audio)
         z = self._encoder_staged(params, audio, n_chunks)
         codes = []
@@ -460,7 +460,7 @@ class SNAC:
     def forward(self, audio, rng: jax.Array | None = None):
         """Round-trip: returns (audio_hat [B, T], codes list)."""
         a, length = self._prepare(audio)
-        n = self._auto_chunks(a.shape[1]) if a.shape[0] == 1 else 1
+        n = self._auto_chunks(a.shape[1])
         audio_hat, codes = self._jit_forward(self.params, a,
                                              self._noise_rng(rng), n)
         return audio_hat[:, :length, 0], codes
@@ -468,14 +468,14 @@ class SNAC:
     def encode(self, audio) -> list[jax.Array]:
         """Audio -> list of per-stage code index arrays [B, frames_i]."""
         a, _ = self._prepare(audio)
-        n = self._auto_chunks(a.shape[1]) if a.shape[0] == 1 else 1
+        n = self._auto_chunks(a.shape[1])
         return self._jit_encode(self.params, a, n)
 
     def decode(self, codes: Sequence, rng: jax.Array | None = None) -> jax.Array:
         codes = [jnp.asarray(c, dtype=jnp.int32) for c in codes]
         codes = [c[None, :] if c.ndim == 1 else c for c in codes]
         samples = codes[-1].shape[-1] * self.hop_length  # stride-1 stage is last
-        n = self._auto_chunks(samples) if codes[0].shape[0] == 1 else 1
+        n = self._auto_chunks(samples)
         audio = self._jit_decode(self.params, codes, self._noise_rng(rng), n)
         return audio[:, :, 0]
 

@@ -81,19 +81,25 @@ def plan_chunks(total: int, n_chunks: int, halo: int,
 
 
 def split_chunks(x: jax.Array, plan: ChunkPlan, scale: int = 1) -> jax.Array:
-    """x: [1, T, C] with T == plan.total*scale -> [n, plan.length*scale, C]."""
+    """x: [B, T, C] with T == plan.total*scale -> [n*B, plan.length*scale, C].
+
+    Each stream in the batch is chunked with the same (static) plan; chunks
+    are stacked chunk-major so ``stitch_chunks`` can reassemble per stream.
+    """
     return jnp.concatenate(
         [jax.lax.dynamic_slice_in_dim(x, s * scale, plan.length * scale, 1)
          for s in plan.starts], axis=0)
 
 
 def stitch_chunks(y: jax.Array, plan: ChunkPlan, scale: int = 1) -> jax.Array:
-    """y: [n, plan.length*scale, C] -> [1, plan.total*scale, C] from cores."""
+    """y: [n*B, plan.length*scale, C] -> [B, plan.total*scale, C] from cores."""
+    n = len(plan.starts)
+    b = y.shape[0] // n
     parts = []
-    for i in range(len(plan.starts)):
+    for i in range(n):
         if plan.core_lens[i] == 0:
             continue
-        parts.append(y[i: i + 1,
+        parts.append(y[i * b: (i + 1) * b,
                        plan.core_offs[i] * scale:
                        (plan.core_offs[i] + plan.core_lens[i]) * scale, :])
     return jnp.concatenate(parts, axis=1)

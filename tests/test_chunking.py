@@ -176,3 +176,47 @@ def test_snac_public_api_roundtrip_chunked(tiny_snac):
     assert out.shape[-1] == audio.shape[-1]
     dec = model.decode(codes)
     assert dec.shape[-1] == model._pad_length(audio.shape[-1])
+
+
+def test_batched_chunked_matches_per_stream_snac(rng):
+    """B>1 streams through the chunked path == each stream individually."""
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+
+    cfg = SNACConfig(sampling_rate=16000, encoder_dim=16, encoder_rates=[2, 4],
+                     decoder_dim=64, decoder_rates=[4, 2],
+                     attn_window_size=None, codebook_size=64, codebook_dim=8,
+                     vq_strides=[2, 1], noise=False, depthwise=False)
+    model = SNAC(cfg)
+    t = cfg.pad_to * 96
+    batch = (0.3 * rng.standard_normal((3, t))).astype(np.float32)
+
+    batched = model.encode(batch)
+    for b in range(3):
+        single = model.encode(batch[b])
+        for stage, (sb, ss) in enumerate(zip(batched, single)):
+            match = (np.asarray(sb[b]) == np.asarray(ss[0])).mean()
+            assert match > 0.99, f"stream {b} stage {stage}: {match}"
+
+    out_b, _ = model.forward(batch)
+    out_0, _ = model.forward(batch[0])
+    np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_0[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_batched_chunked_matches_per_stream_dac(rng):
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+
+    cfg = DACConfig(sample_rate=16000, encoder_dim=8, encoder_rates=[2, 4],
+                    decoder_dim=64, decoder_rates=[4, 2], n_codebooks=2,
+                    codebook_size=32, codebook_dim=4)
+    model = DAC(cfg)
+    t = cfg.hop_length * 96 * 8
+    batch = (0.3 * rng.standard_normal((2, t))).astype(np.float32)
+
+    out_b = model.forward(batch)
+    out_0 = model.forward(batch[0])
+    match = (np.asarray(out_b["codes"][0]) == np.asarray(out_0["codes"][0])).mean()
+    assert match > 0.99
+    np.testing.assert_allclose(np.asarray(out_b["audio"][0]),
+                               np.asarray(out_0["audio"][0]),
+                               rtol=1e-4, atol=1e-5)
