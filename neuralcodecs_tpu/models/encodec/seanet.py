@@ -177,6 +177,36 @@ class SConv1d(Layer):
             out = self.norm(params, out)
         return out
 
+    # -- streaming (causal only) ----------------------------------------------
+
+    @property
+    def _stream_ctx(self) -> int:
+        eff_k = (self.k - 1) * self.dilation + 1
+        return eff_k - self.stride
+
+    def stream(self, params: Params, x: jax.Array, state):
+        """One streaming step: x [B, Tc, Cin] with Tc % stride == 0.
+
+        ``state`` carries the previous chunk's input tail (the causal left
+        context, SConv1d.cs causal branch); ``state=None`` starts a stream —
+        the first chunk uses the layer's normal left padding (incl. the
+        reflect mode), so chunked output == the full causal forward exactly.
+        """
+        assert self.causal, "streaming requires a causal conv"
+        ctx = self._stream_ctx
+        if state is None:
+            ext = pad1d(x, ctx, 0, self.pad_mode)
+        else:
+            ext = jnp.concatenate([state, x], axis=1)
+        out = conv1d(ext, params[f"{self.prefix}.conv.weight"],
+                     params.get(f"{self.prefix}.conv.bias") if self.has_bias else None,
+                     stride=self.stride, padding=0, dilation=self.dilation,
+                     groups=self.groups)
+        if self.norm is not None:
+            out = self.norm(params, out)
+        new_state = ext[:, ext.shape[1] - ctx:, :]
+        return out, new_state
+
 
 class SConvTranspose1d(Layer):
     """Transpose conv + causal/asymmetric trimming (SConvTranspose1d.cs:82-110)."""
@@ -227,6 +257,36 @@ class SConvTranspose1d(Layer):
         t = y.shape[1]
         return y[:, pad_left: t - pad_right, :]
 
+    # -- streaming (causal, trim_right_ratio == 1 only) ------------------------
+
+    def stream(self, params: Params, x: jax.Array, state):
+        """One streaming step: x [B, Tc, Cin] -> y [B, Tc*stride, Cout].
+
+        The transpose conv's trailing ``k - stride`` half-frame overlaps the
+        next chunk; ``state`` carries that tail (pre-bias) and overlap-adds
+        it into the next chunk's head. Equal to the full causal forward with
+        trim_right_ratio == 1 (the Encodec default)."""
+        assert self.causal and self.trim_right_ratio == 1.0, \
+            "streaming transpose conv requires causal + trim_right_ratio=1"
+        assert self.norm is None, "streaming transpose conv with norm unsupported"
+        y = conv_transpose1d(x, params[f"{self.prefix}.conv.weight"], None,
+                             stride=self.stride, padding=0)
+        emit_len = x.shape[1] * self.stride
+        carry_in = state
+        emitted = y[:, :emit_len, :]
+        if self.pad_total > 0:
+            if carry_in is None:
+                carry_in = jnp.zeros((x.shape[0], self.pad_total, self.cout),
+                                     y.dtype)
+            emitted = emitted.at[:, : self.pad_total, :].add(carry_in)
+            new_state = y[:, emit_len:, :]
+        else:
+            new_state = y[:, :0, :]
+        bias = params.get(f"{self.prefix}.conv.bias")
+        if bias is not None:
+            emitted = emitted + bias
+        return emitted, new_state
+
 
 class SEANetResnetBlock(Layer):
     """ELU→conv(k,dil)→ELU→conv(1) + (identity | 1×1 conv) skip
@@ -263,6 +323,22 @@ class SEANetResnetBlock(Layer):
             h = conv(params, elu(h))
         skip = x if self.shortcut is None else self.shortcut(params, x)
         return skip + h
+
+    def stream(self, params: Params, x: jax.Array, state):
+        states = state if state is not None else [None] * (len(self.convs) + 1)
+        h = x
+        new_states = []
+        for conv, s in zip(self.convs, states):
+            h, ns = conv.stream(params, elu(h), s)
+            new_states.append(ns)
+        if self.shortcut is None:
+            skip = x
+            new_states.append(states[-1] if states[-1] is not None
+                              else jnp.zeros((x.shape[0], 0, x.shape[2]), x.dtype))
+        else:
+            skip, ns = self.shortcut.stream(params, x, states[-1])
+            new_states.append(ns)
+        return skip + h, new_states
 
 
 class SLSTM(Layer):
@@ -346,6 +422,11 @@ class SLSTM(Layer):
             return out, (jnp.stack(h_stack), jnp.stack(c_stack))
         return out
 
+    def stream(self, params: Params, x: jax.Array, state):
+        """One streaming step; state is the carried ([L,B,H], [L,B,H])."""
+        return self(params, x, state=state, return_state=True)
+
+
 
 class _Act:
     """Parameterless ELU slot matching the reference Sequential layout."""
@@ -358,6 +439,22 @@ class _Act:
 
     def __call__(self, params, x):
         return elu(x)
+
+
+def _stream_layers(layers, params: Params, x: jax.Array, states):
+    """Run a Sequential of layers one streaming step; stateless layers keep
+    a None slot so the state pytree shape is stable."""
+    if states is None:
+        states = [None] * len(layers)
+    new_states = []
+    for layer, s in zip(layers, states):
+        if hasattr(layer, "stream"):
+            x, ns = layer.stream(params, x, s)
+        else:
+            x = layer(params, x)
+            ns = None
+        new_states.append(ns)
+    return x, new_states
 
 
 class SEANetEncoder(Layer):
@@ -420,6 +517,13 @@ class SEANetEncoder(Layer):
             x = layer(params, x)
         return x
 
+    def stream(self, params: Params, x: jax.Array, states):
+        """Streaming encode step: x [B, Tc, C] with Tc % hop_length == 0 ->
+        (frames [B, Tc/hop, D], new_states). Chunked == full causal forward
+        exactly (conv tails + LSTM state carried; SLSTM.cs streaming state +
+        SConv1d.cs causal padding)."""
+        return _stream_layers(self.layers, params, x, states)
+
 
 class SEANetDecoder(Layer):
     """conv(k7) → SLSTM → [ELU + convT + resblocks]×4 → ELU → conv(k7)
@@ -479,3 +583,9 @@ class SEANetDecoder(Layer):
         for layer in self.layers:
             x = layer(params, x)
         return x
+
+    def stream(self, params: Params, x: jax.Array, states):
+        """Streaming decode step: frames [B, Fc, D] -> (audio
+        [B, Fc*hop, channels], new_states); transpose-conv tails overlap-add
+        across chunks, so concatenated chunks == the full causal decode."""
+        return _stream_layers(self.layers, params, x, states)
