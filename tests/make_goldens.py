@@ -153,5 +153,28 @@ if __name__ == "__main__":
     make_snac_golden()
     make_dac_golden()
     make_ecdc_golden()
+    make_dia_golden()
     for p in sorted(GOLDEN_DIR.glob("*.npz")):
         print(f"{p.name}: {p.stat().st_size / 1e6:.2f} MB")
+
+
+def dia_golden_model():
+    from test_dia import tiny_config
+
+    from neuralcodecs_tpu.models.dia import Dia
+
+    return Dia(tiny_config(), seed=SEED % (2**31))
+
+
+def make_dia_golden() -> None:
+    """Freeze a tiny-Dia generation (codes) to pin the whole while_loop
+    generation path: CFG, sampling, EOS/delay-pattern bookkeeping."""
+    model = dia_golden_model()
+    codes, lengths = model.generate_codes(["[S1]golden fixture"],
+                                          max_tokens=24, seed=7)
+    payload = {f"sd/{k}": np.asarray(v) for k, v in model.params.items()}
+    payload["codes"] = np.asarray(codes).astype(np.int16)
+    payload["lengths"] = np.asarray(lengths).astype(np.int32)
+    np.savez_compressed(GOLDEN_DIR / "dia_golden.npz", **payload)
+    print(f"dia_golden: codes {tuple(np.asarray(codes).shape)}, "
+          f"lengths {np.asarray(lengths).tolist()}")

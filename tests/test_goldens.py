@@ -110,3 +110,25 @@ def test_ecdc_golden_bytes_frozen():
 def test_golden_fixtures_exist(name):
     assert (GOLDEN_DIR / name).exists(), (
         f"{name} missing — run `python tests/make_goldens.py`")
+
+
+def test_dia_golden_generation_frozen():
+    """The whole-loop Dia generation (CFG + sampling + EOS/delay pattern)
+    must reproduce the frozen codes from the same weights and seed."""
+    import jax.numpy as jnp
+
+    from make_goldens import dia_golden_model
+
+    g = _load("dia_golden.npz")
+    model = dia_golden_model()
+    for k in model.params:
+        np.testing.assert_array_equal(
+            np.asarray(model.params[k]), g[f"sd/{k}"],
+            err_msg=f"seeded Dia init drifted for {k}")
+    model.params = {k: jnp.asarray(g[f"sd/{k}"]) for k in model.params}
+    codes, lengths = model.generate_codes(["[S1]golden fixture"],
+                                          max_tokens=24, seed=7)
+    np.testing.assert_array_equal(np.asarray(codes).astype(np.int16),
+                                  g["codes"])
+    np.testing.assert_array_equal(np.asarray(lengths).astype(np.int32),
+                                  g["lengths"])
