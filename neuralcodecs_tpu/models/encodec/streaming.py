@@ -17,8 +17,6 @@ normalization, unsegmented model (the 24 kHz preset satisfies all).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
@@ -48,10 +46,9 @@ class StreamingEncoder:
     ...     codes = enc.push(chunk)       # [B, n_q, T/hop]
     """
 
-    def __init__(self, model, n_q: int | None = None, batch: int = 1):
+    def __init__(self, model, n_q: int | None = None):
         _check_streamable(model)
         self.model = model
-        self.batch = batch
         self.hop = model.encoder.hop_length
         self.n_q = n_q or model.quantizer.num_quantizers_for_bandwidth(
             model.frame_rate, model.bandwidth)
@@ -95,7 +92,7 @@ class StreamingEncoder:
 class StreamingDecoder:
     """Chunked RVQ codes in -> audio out, with carried state."""
 
-    def __init__(self, model, batch: int = 1):
+    def __init__(self, model):
         _check_streamable(model)
         self.model = model
         self._state = None
