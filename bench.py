@@ -248,8 +248,11 @@ def main() -> None:
 
     filter_flags = {"--snac", "--dac", "--enc24", "--enc48", "--dsp",
                     "--dia", "--aggregate", "--all"}
+    optin_flags = {"--bf16", "--mixed", "--int8"}
     given = filter_flags & set(sys.argv[1:])
-    full = not given or "--all" in given
+    # an opt-in flag alone must NOT trigger the full default suite
+    full = (not given and not (optin_flags & set(sys.argv[1:]))) \
+        or "--all" in given
 
     def want(flag: str) -> bool:
         return full or flag in given

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -198,6 +199,9 @@ def cmd_bench(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="neuralcodecs", description=__doc__)
+    p.add_argument("--traceback", action="store_true",
+                   help="re-raise errors with the full stack trace instead "
+                        "of the OperationResult JSON summary")
     sub = p.add_subparsers(dest="command", required=True)
 
     rt = sub.add_parser("roundtrip", help="encode+decode a WAV through a codec")
@@ -263,6 +267,9 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         raise
     except Exception as exc:
+        if getattr(args, "traceback", False) or \
+                os.environ.get("NEURALCODECS_DEBUG"):
+            raise
         result = OperationResult.from_error(exc)
         print(json.dumps({
             "success": False,
@@ -270,6 +277,8 @@ def main(argv=None) -> int:
             "error": type(exc).__name__,
             "message": result.message,
         }), file=sys.stderr)
+        print("(re-run with --traceback or NEURALCODECS_DEBUG=1 for the "
+              "full stack trace)", file=sys.stderr)
         return 1
 
 

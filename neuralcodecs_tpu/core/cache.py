@@ -17,7 +17,7 @@ from dataclasses import dataclass, field, asdict
 from pathlib import Path
 
 from neuralcodecs_tpu.core.exceptions import CacheError
-from neuralcodecs_tpu.core.files import file_sha256
+from neuralcodecs_tpu.core.files import file_sha256, safe_child_path
 
 _META_FILE = "cache_meta.json"
 DEFAULT_TTL_SECONDS = 30 * 24 * 3600
@@ -35,6 +35,7 @@ class CachedFile:
     name: str
     sha256: str
     size: int
+    mtime: float = 0.0  # st_mtime at hash time; lets loads skip re-hashing
 
 
 @dataclass
@@ -81,16 +82,31 @@ class ModelCache:
             return None
         if self.ttl > 0 and (time.time() - meta.timestamp) > self.ttl:
             return None
+        meta_dirty = False
         for f in meta.files:
             p = d / f.name
-            if not p.is_file() or p.stat().st_size != f.size:
+            if not p.is_file():
+                self.invalidate(model_id, revision)
+                return None
+            st = p.stat()
+            if st.st_size != f.size:
                 self.invalidate(model_id, revision)
                 return None
             # Integrity check (ADVICE r1): a tampered same-size file must not
             # pass validation — cache_meta.json stores a SHA-256 per file.
-            if f.sha256 and file_sha256(p) != f.sha256:
-                self.invalidate(model_id, revision)
-                return None
+            # Hashing a multi-hundred-MB checkpoint on EVERY load is too
+            # slow for the hot path, so the hash is verified only when the
+            # file's mtime differs from the recorded hash-time mtime (any
+            # tamper path that rewrites content bumps mtime; matching
+            # size+mtime means the bytes we hashed at download time).
+            if f.sha256 and st.st_mtime != f.mtime:
+                if file_sha256(p) != f.sha256:
+                    self.invalidate(model_id, revision)
+                    return None
+                f.mtime = st.st_mtime
+                meta_dirty = True
+        if meta_dirty:
+            meta_path.write_text(meta.to_json())
         return d
 
     def cache_model(
@@ -108,18 +124,19 @@ class ModelCache:
             if not src.is_file():
                 raise CacheError(f"Cannot cache missing file {src}")
             # Names may originate from remote repo listings; never let them
-            # escape the cache directory (ADVICE r1, high).
-            if ("\\" in name or Path(name).is_absolute()
-                    or not Path(name).parts
-                    or any(p in ("..", ".") for p in Path(name).parts)
-                    or not (d / name).resolve().is_relative_to(d.resolve())):
-                raise CacheError(f"Unsafe cache file name {name!r}")
-            dst = d / name
+            # escape the cache directory (ADVICE r1, high; policy shared
+            # with repos.safe_join via files.safe_child_path).
+            try:
+                dst = safe_child_path(d, name)
+            except ValueError as exc:
+                raise CacheError(f"Unsafe cache file name {name!r}") from exc
             dst.parent.mkdir(parents=True, exist_ok=True)
             if src.resolve() != dst.resolve():
                 shutil.copy2(src, dst)
+            st = dst.stat()
             cached.append(
-                CachedFile(name=name, sha256=file_sha256(dst), size=dst.stat().st_size)
+                CachedFile(name=name, sha256=file_sha256(dst), size=st.st_size,
+                           mtime=st.st_mtime)
             )
         meta = CacheMetadata(
             model_id=model_id, revision=revision, timestamp=time.time(), files=cached

@@ -100,3 +100,24 @@ def wildcard_match(pattern: str, name: str) -> bool:
     import fnmatch
 
     return fnmatch.fnmatch(name.lower(), pattern.lower())
+
+
+def safe_child_path(root: Path, name: str) -> Path:
+    """Validate a remote-controlled file name and return ``root/name``.
+
+    Single source of truth for the path-traversal policy (ADVICE r1, high):
+    rejects backslashes, absolute paths, '.'/'..' components, empty names,
+    and anything that resolves outside ``root``. Raises ValueError; callers
+    wrap it in their domain exception (RepositoryError / CacheError).
+    """
+    if "\\" in name or name.startswith("/") or not name:
+        raise ValueError(f"Unsafe remote file name {name!r}")
+    parts = Path(name).parts
+    if (not parts or any(p in ("..", ".") for p in parts)
+            or Path(name).is_absolute()):
+        raise ValueError(f"Unsafe remote file name {name!r}")
+    root = Path(root)
+    joined = (root / name).resolve()
+    if not joined.is_relative_to(root.resolve()):
+        raise ValueError(f"Unsafe remote file name {name!r}")
+    return root / name

@@ -21,6 +21,7 @@ from typing import Protocol
 
 from neuralcodecs_tpu.core.events import EventEmitter, LoadProgress
 from neuralcodecs_tpu.core.exceptions import RepositoryError
+from neuralcodecs_tpu.core.files import safe_child_path
 from neuralcodecs_tpu.core.retry import with_retry
 
 _WEIGHT_EXTS = (".safetensors", ".pt", ".pth", ".ckpt", ".bin", ".npz")
@@ -84,17 +85,12 @@ def safe_join(dest: Path, name: str) -> Path:
     HF 'siblings' rfilenames and GitHub contents paths come from untrusted
     repo listings (ADVICE r1, high): a listing entry like
     '../../../.bashrc.pt' must not escape the download/cache directory.
+    Policy lives in core.files.safe_child_path (shared with the cache).
     """
-    if "\\" in name or name.startswith("/") or not name:
-        raise RepositoryError(f"Unsafe remote file name {name!r}")
-    parts = Path(name).parts
-    if (not parts or any(p in ("..", ".") for p in parts)
-            or Path(name).is_absolute()):
-        raise RepositoryError(f"Unsafe remote file name {name!r}")
-    joined = (dest / name).resolve()
-    if not joined.is_relative_to(dest.resolve()):
-        raise RepositoryError(f"Unsafe remote file name {name!r}")
-    return dest / name
+    try:
+        return safe_child_path(dest, name)
+    except ValueError as exc:
+        raise RepositoryError(str(exc)) from exc
 
 
 def is_lfs_pointer(path: Path) -> bool:
@@ -253,6 +249,10 @@ class GitHubRepository:
                 out = {}
                 for name in filter(None, [model_file, config_file]):
                     url = by_name[name].get("browser_download_url")
+                    if not url:
+                        raise RepositoryError(
+                            f"Release asset {name} in {source} has no "
+                            "download URL (draft or expired asset?)", source)
                     out[name] = _download_file(url, safe_join(dest, name),
                                                events, source)
                 _validate_weights(out)

@@ -125,7 +125,11 @@ class StreamingDecoder:
 
 def stream_roundtrip(model, audio: np.ndarray, chunk_samples: int):
     """Convenience: push audio through paired streaming encode+decode
-    sessions chunk by chunk; returns (audio_out [B, T, C], codes list)."""
+    sessions chunk by chunk; returns (audio_out [B, T, C], codes list).
+
+    A ragged tail is zero-padded up to the hop grid, pushed as a final
+    (shorter) chunk, and the emitted audio is trimmed back to the input
+    length — nothing is dropped."""
     enc = StreamingEncoder(model)
     dec = StreamingDecoder(model)
     hop = enc.hop
@@ -134,10 +138,14 @@ def stream_roundtrip(model, audio: np.ndarray, chunk_samples: int):
     x = np.asarray(audio, np.float32)
     if x.ndim == 1:
         x = x[None, :]
-    t = x.shape[1] // chunk_samples * chunk_samples
+    t = x.shape[1]
     outs, codes_all = [], []
     for off in range(0, t, chunk_samples):
-        codes = enc.push(x[:, off: off + chunk_samples])
+        chunk = x[:, off: off + chunk_samples]
+        if chunk.shape[1] % hop:
+            pad = hop - chunk.shape[1] % hop
+            chunk = np.pad(chunk, ((0, 0), (0, pad)))
+        codes = enc.push(chunk)
         codes_all.append(codes)
         outs.append(dec.push(codes))
-    return jnp.concatenate(outs, axis=1), codes_all
+    return jnp.concatenate(outs, axis=1)[:, :t], codes_all

@@ -278,16 +278,37 @@ class SNAC:
         pad_to = self.config.pad_to
         return -(-length // pad_to) * pad_to
 
-    def _encode_fn(self, params: Params, audio: jax.Array) -> list[jax.Array]:
-        """audio: [B, T, 1] already padded -> list of code arrays."""
-        z = self.encoder(params, audio.astype(self.compute_dtype))
-        codes = []
+    def _rvq(self, params: Params, z: jax.Array):
+        """Residual VQ sweep over all stages: (z_q, codes list). Callers
+        that only need the codes rely on jit DCE-ing the unused z_q sum."""
         residual = z.astype(jnp.float32)
+        z_q = jnp.zeros_like(residual)
+        codes = []
         for vq in self.quantizers:
             z_q_i, codes_i = vq.forward(params, residual)
             residual = residual - z_q_i
+            z_q = z_q + z_q_i
             codes.append(codes_i)
-        return codes
+        return z_q, codes
+
+    def _run_layers(self, layers, params: Params, x: jax.Array,
+                    rng: jax.Array | None):
+        """Run decoder-style layers, splitting the noise rng per block;
+        returns (x, remaining rng) so staged callers can thread it."""
+        for layer in layers:
+            if isinstance(layer, _DecoderBlock):
+                sub = None
+                if rng is not None:
+                    rng, sub = jax.random.split(rng)
+                x = layer(params, x, sub)
+            else:
+                x = layer(params, x)
+        return x, rng
+
+    def _encode_fn(self, params: Params, audio: jax.Array) -> list[jax.Array]:
+        """audio: [B, T, 1] already padded -> list of code arrays."""
+        z = self.encoder(params, audio.astype(self.compute_dtype))
+        return self._rvq(params, z)[1]
 
     def _decode_fn(self, params: Params, codes: Sequence[jax.Array],
                    rng: jax.Array | None) -> jax.Array:
@@ -298,29 +319,15 @@ class SNAC:
 
     def _run_decoder(self, params: Params, z_q: jax.Array,
                      rng: jax.Array | None) -> jax.Array:
-        x = z_q.astype(self.decoder_dtype)
-        for layer in self.decoder.layers:
-            if isinstance(layer, _DecoderBlock):
-                sub = None
-                if rng is not None:
-                    rng, sub = jax.random.split(rng)
-                x = layer(params, x, sub)
-            else:
-                x = layer(params, x)
+        x, _ = self._run_layers(self.decoder.layers, params,
+                                z_q.astype(self.decoder_dtype), rng)
         return x
 
     def _forward_fn(self, params: Params, audio: jax.Array,
                     rng: jax.Array | None) -> tuple[jax.Array, list[jax.Array]]:
         """Full round-trip on padded [B, T, 1] audio (Models/SNAC.cs:91-106)."""
         z = self.encoder(params, audio.astype(self.compute_dtype))
-        residual = z.astype(jnp.float32)
-        z_q = jnp.zeros_like(residual)
-        codes = []
-        for vq in self.quantizers:
-            z_q_i, codes_i = vq.forward(params, residual)
-            residual = residual - z_q_i
-            z_q = z_q + z_q_i
-            codes.append(codes_i)
+        z_q, codes = self._rvq(params, z)
         audio_hat = self._run_decoder(params, z_q, rng).astype(jnp.float32)
         return audio_hat, codes
 
@@ -357,35 +364,14 @@ class SNAC:
         """Decoder head (convs + LocalMHA + first block) unchunked, narrow
         long-T tail chunk-batched. With noise enabled the chunked tail draws
         a different (still i.i.d.) noise pattern than unchunked."""
-        x = z_q.astype(self.decoder_dtype)
-        for layer in self._dec_head_layers:
-            if isinstance(layer, _DecoderBlock):
-                sub = None
-                if rng is not None:
-                    rng, sub = jax.random.split(rng)
-                x = layer(params, x, sub)
-            else:
-                x = layer(params, x)
+        x, rng = self._run_layers(self._dec_head_layers, params,
+                                  z_q.astype(self.decoder_dtype), rng)
         plan = plan_chunks(x.shape[1], n_chunks, self._dec_tail_halo)
         if plan is None:
-            for layer in self._dec_tail_layers:
-                if isinstance(layer, _DecoderBlock):
-                    sub = None
-                    if rng is not None:
-                        rng, sub = jax.random.split(rng)
-                    x = layer(params, x, sub)
-                else:
-                    x = layer(params, x)
+            x, _ = self._run_layers(self._dec_tail_layers, params, x, rng)
             return x
-        x = split_chunks(x, plan)
-        for layer in self._dec_tail_layers:
-            if isinstance(layer, _DecoderBlock):
-                sub = None
-                if rng is not None:
-                    rng, sub = jax.random.split(rng)
-                x = layer(params, x, sub)
-            else:
-                x = layer(params, x)
+        x, _ = self._run_layers(self._dec_tail_layers, params,
+                                split_chunks(x, plan), rng)
         return stitch_chunks(x, plan, scale=self._dec_tail_ratio)
 
     def _forward_chunked_fn(self, params: Params, audio: jax.Array,
@@ -393,14 +379,7 @@ class SNAC:
         if n_chunks <= 1:
             return self._forward_fn(params, audio, rng)
         z = self._encoder_staged(params, audio, n_chunks)
-        residual = z.astype(jnp.float32)
-        z_q = jnp.zeros_like(residual)
-        codes = []
-        for vq in self.quantizers:
-            z_q_i, codes_i = vq.forward(params, residual)
-            residual = residual - z_q_i
-            z_q = z_q + z_q_i
-            codes.append(codes_i)
+        z_q, codes = self._rvq(params, z)
         audio_hat = self._run_decoder_staged(params, z_q, rng,
                                              n_chunks).astype(jnp.float32)
         return audio_hat, codes
@@ -410,13 +389,7 @@ class SNAC:
         if n_chunks <= 1:
             return self._encode_fn(params, audio)
         z = self._encoder_staged(params, audio, n_chunks)
-        codes = []
-        residual = z.astype(jnp.float32)
-        for vq in self.quantizers:
-            z_q_i, codes_i = vq.forward(params, residual)
-            residual = residual - z_q_i
-            codes.append(codes_i)
-        return codes
+        return self._rvq(params, z)[1]
 
     def _decode_chunked_fn(self, params: Params, codes: Sequence[jax.Array],
                            rng: jax.Array | None, n_chunks: int) -> jax.Array:
