@@ -108,3 +108,48 @@ def test_loader_try_load_returns_operation_result(tmp_path):
                              options=LoadOptions())
     assert result.success is False
     assert result.error is not None and seen and seen[0].fatal
+
+
+def test_cli_compress_decompress_roundtrip(tmp_path, rng, capsys):
+    """Full .ecdc flow through the CLI: wav -> compress -> decompress -> wav."""
+    import wave
+
+    import neuralcodecs_tpu.cli.main as cli_main
+    from neuralcodecs_tpu.cli.main import main
+    from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
+
+    sr = 16000
+    x = (0.3 * np.sin(2 * np.pi * 330 * np.arange(sr // 4) / sr)).astype(np.float32)
+    wav_in = tmp_path / "in.wav"
+    with wave.open(str(wav_in), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x * 32767).astype(np.int16).tobytes())
+
+    cfg = EncodecConfig(
+        sampling_rate=16000, channels=1, bandwidth=20.0,
+        target_bandwidths=[20.0], codebook_size=32, codebook_dim=16,
+        hidden_size=16, num_filters=8, num_lstm_layers=1,
+        num_residual_layers=1, upsampling_ratios=[4, 2],
+        use_causal_conv=True, norm_type="weight_norm")
+    # one shared instance so compress and decompress agree on weights
+    tiny = Encodec(cfg, seed=0)
+    orig = cli_main._load_codec
+    cli_main._load_codec = lambda codec, model_path, preset: tiny
+    try:
+        ecdc = tmp_path / "out.ecdc"
+        rc = main(["compress", "--input", str(wav_in), "--output", str(ecdc)])
+        assert rc == 0
+        stats = capsys.readouterr().out.strip().splitlines()[-1]
+        import json as _json
+        rec = _json.loads(stats)
+        assert rec["bytes"] == ecdc.stat().st_size and rec["ratio"] > 1
+        rc = main(["decompress", "--input", str(ecdc),
+                   "--output", str(tmp_path / "rec.wav")])
+        assert rc == 0
+        with wave.open(str(tmp_path / "rec.wav"), "rb") as w:
+            assert w.getframerate() == sr
+            assert w.getnframes() > 0
+    finally:
+        cli_main._load_codec = orig
