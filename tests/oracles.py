@@ -474,3 +474,72 @@ class EncodecOracle(nn.Module):
             codes.append(idx)
         out = self.decoder(quantized.transpose(1, 2))
         return out, torch.stack(codes, 1)
+
+
+# ---------------------------------------------------------------------------
+# Encodec language-model oracle (original-encodec trained-graph semantics)
+# ---------------------------------------------------------------------------
+
+def _lm_sin_embedding(positions, dim, max_period=10000.0):
+    half = dim // 2
+    adim = torch.arange(half, dtype=torch.float32).view(1, 1, -1)
+    phase = positions.float() / (max_period ** (adim / (half - 1)))
+    return torch.cat([torch.cos(phase), torch.sin(phase)], dim=-1)
+
+
+class _LMLayerT(nn.Module):
+    """Post-norm torch TransformerEncoderLayer with canonical
+    nn.MultiheadAttention (the module the trained encodec LM used)."""
+
+    def __init__(self, d, heads, hidden):
+        super().__init__()
+        self.self_attn = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.linear1 = nn.Linear(d, hidden)
+        self.linear2 = nn.Linear(hidden, d)
+        self.norm1 = nn.LayerNorm(d)
+        self.norm2 = nn.LayerNorm(d)
+
+    def forward(self, x, attn_mask):
+        a, _ = self.self_attn(x, x, x, attn_mask=attn_mask,
+                              need_weights=False)
+        x = self.norm1(x + a)
+        h = self.linear2(F.gelu(self.linear1(x)))
+        return self.norm2(x + h)
+
+
+class _LMTransformerT(nn.Module):
+    def __init__(self, d, heads, hidden, n_layers, norm_in):
+        super().__init__()
+        self.norm_in = nn.LayerNorm(d) if norm_in else None
+        self.layers = nn.ModuleList(
+            [_LMLayerT(d, heads, hidden) for _ in range(n_layers)])
+
+
+class EncodecLMOracle(nn.Module):
+    """Full-sequence LM forward with the banded past-context mask
+    (independent torch expression of EncodecLanguageModel.cs:259-300 /
+    StreamingTransformerEncoderLayer.cs:179-220, using the TRAINED graph:
+    each layer consumes the previous layer's OUTPUT)."""
+
+    def __init__(self, card, n_q, d, heads, hidden, n_layers, past_context):
+        super().__init__()
+        self.past_context = past_context
+        self.emb = nn.ModuleList([nn.Embedding(card + 1, d) for _ in range(n_q)])
+        self.transformer = _LMTransformerT(d, heads, hidden, n_layers, True)
+        self.linears = nn.ModuleList([nn.Linear(d, card) for _ in range(n_q)])
+
+    @torch.no_grad()
+    def forward(self, indices):
+        """indices: [B, K, T] (+1-shifted codes) -> probas [B, card, K, T]."""
+        b, k, t = indices.shape
+        x = sum(self.emb[i](indices[:, i]) for i in range(k))   # [B, T, D]
+        if self.transformer.norm_in is not None:
+            x = self.transformer.norm_in(x)
+        positions = torch.arange(t).view(1, -1, 1)
+        x = x + _lm_sin_embedding(positions, x.shape[-1])
+        delta = torch.arange(t).view(-1, 1) - torch.arange(t).view(1, -1)
+        attn_mask = ~((delta >= 0) & (delta <= self.past_context))  # True=masked
+        for layer in self.transformer.layers:
+            x = layer(x, attn_mask)
+        outs = [torch.softmax(lin(x), dim=-1) for lin in self.linears]
+        return torch.stack(outs, dim=1).permute(0, 3, 1, 2)     # [B,card,K,T]

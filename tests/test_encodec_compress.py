@@ -209,3 +209,45 @@ def test_lm_torch_checkpoint_name_mapping(rng):
     codes = rng.integers(0, 17, size=(1, 2, 4))
     np.testing.assert_allclose(np.asarray(lm.forward_full(codes)),
                                np.asarray(lm2.forward_full(codes)))
+
+
+def test_lm_matches_torch_oracle(rng):
+    """Full-sequence LM forward vs an independent torch implementation
+    built from canonical nn.MultiheadAttention / LayerNorm modules (the
+    trained-graph semantics the pretrained LM checkpoints assume)."""
+    import torch as _torch
+
+    from oracles import EncodecLMOracle
+
+    from neuralcodecs_tpu.models.encodec.lm import (
+        EncodecLanguageModel, EncodecLMConfig)
+
+    card, n_q, d, heads, layers, past = 17, 3, 32, 4, 2, 6
+    cfg = EncodecLMConfig(codebook_size=card, num_codebooks=n_q, dimension=d,
+                          num_heads=heads, num_layers=layers,
+                          hidden_scale=4.0, past_context=past)
+    _torch.manual_seed(0)
+    oracle = EncodecLMOracle(card, n_q, d, heads, int(d * 4.0), layers,
+                             past).eval()
+
+    # oracle state dict -> our names: the transformer prefix matches; the
+    # per-codebook embeddings/linears are top-level in both
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    lm = EncodecLanguageModel(cfg, seed=1).load_state_dict(sd)
+
+    t = 11  # > past_context: exercises the banded mask
+    codes = rng.integers(0, card + 1, size=(2, n_q, t))
+    with _torch.no_grad():
+        ref = oracle(_torch.from_numpy(codes)).numpy()
+    got = np.asarray(lm.forward_full(codes))
+    assert got.shape == ref.shape == (2, card, n_q, t)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    # and the streaming path must agree with the oracle too
+    state = lm.init_state(2)
+    step_out = []
+    for i in range(t):
+        probas, state = lm.step(codes[:, :, i:i + 1], state)
+        step_out.append(np.asarray(probas)[..., 0])
+    stepped = np.stack(step_out, axis=-1)
+    np.testing.assert_allclose(stepped, ref, rtol=2e-3, atol=1e-4)
