@@ -73,6 +73,8 @@ def detect_file_type_from_contents(path: str | Path) -> ModelFileType:
 
 
 def is_valid_model_file(path: str | Path) -> bool:
+    if is_shard_index(path):
+        return True
     return detect_file_type(path) in (
         ModelFileType.PYTORCH,
         ModelFileType.SAFETENSORS,
@@ -121,3 +123,13 @@ def safe_child_path(root: Path, name: str) -> Path:
     if not joined.is_relative_to(root.resolve()):
         raise ValueError(f"Unsafe remote file name {name!r}")
     return root / name
+
+
+_SHARD_INDEX_SUFFIXES = (".safetensors.index.json", ".bin.index.json")
+
+
+def is_shard_index(name: str | Path) -> bool:
+    """True for a sharded-checkpoint index file
+    (model.safetensors.index.json / pytorch_model.bin.index.json — the HF
+    layout for models too large for one file, e.g. multi-GB Dia weights)."""
+    return str(name).endswith(_SHARD_INDEX_SUFFIXES)

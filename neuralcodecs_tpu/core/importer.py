@@ -19,7 +19,12 @@ from typing import Any
 import numpy as np
 
 from neuralcodecs_tpu.core.exceptions import LoadError
-from neuralcodecs_tpu.core.files import ModelFileType, detect_file_type
+from neuralcodecs_tpu.core.files import (
+    ModelFileType,
+    detect_file_type,
+    is_shard_index,
+    safe_child_path,
+)
 from neuralcodecs_tpu.core.safetensors_io import load_safetensors
 from neuralcodecs_tpu.core.torch_pickle import load_torch_checkpoint
 
@@ -31,11 +36,16 @@ def load_state_dict(path: str | Path) -> StateDict:
 
     Handles the nesting conventions the reference handles: top-level
     ``state_dict`` keys and DAC's ``{"metadata": ..., "state_dict": ...}``
-    .pth layout (DACUnpickler.cs).
+    .pth layout (DACUnpickler.cs) — plus HF sharded checkpoints
+    (``*.safetensors.index.json`` / ``*.bin.index.json``), which the
+    reference predates: the index's weight_map names per-tensor shard
+    files that are loaded and merged.
     """
     path = Path(path)
     if not path.is_file():
         raise LoadError(f"Weights file not found: {path}")
+    if is_shard_index(path):
+        return _load_sharded(path)
     ftype = detect_file_type(path)
     if ftype == ModelFileType.SAFETENSORS:
         sd: Any = load_safetensors(path)
@@ -47,6 +57,34 @@ def load_state_dict(path: str | Path) -> StateDict:
     else:
         raise LoadError(f"Unsupported weights file type {ftype} for {path}")
     return normalize_state_dict(sd)
+
+
+def _load_sharded(index_path: Path) -> StateDict:
+    """Merge an HF sharded checkpoint via its index's weight_map."""
+    import json
+
+    try:
+        index = json.loads(index_path.read_text())
+        weight_map: dict[str, str] = index["weight_map"]
+    except (json.JSONDecodeError, KeyError, TypeError) as exc:
+        raise LoadError(f"Malformed shard index {index_path}") from exc
+    merged: StateDict = {}
+    for shard_name in sorted(set(weight_map.values())):
+        try:
+            shard_path = safe_child_path(index_path.parent, shard_name)
+        except ValueError as exc:
+            raise LoadError(f"Unsafe shard name {shard_name!r} in "
+                            f"{index_path.name}") from exc
+        if not shard_path.is_file():
+            raise LoadError(
+                f"Shard {shard_name} referenced by {index_path.name} is "
+                "missing (incomplete download?)")
+        merged.update(load_state_dict(shard_path))
+    missing = set(weight_map) - set(merged)
+    if missing:
+        raise LoadError(f"Shard index names tensors absent from the shards: "
+                        f"{sorted(missing)[:5]}")
+    return merged
 
 
 def normalize_state_dict(obj: Any) -> StateDict:

@@ -21,7 +21,7 @@ from typing import Protocol
 
 from neuralcodecs_tpu.core.events import EventEmitter, LoadProgress
 from neuralcodecs_tpu.core.exceptions import RepositoryError
-from neuralcodecs_tpu.core.files import safe_child_path
+from neuralcodecs_tpu.core.files import is_shard_index, safe_child_path
 from neuralcodecs_tpu.core.retry import with_retry
 
 _WEIGHT_EXTS = (".safetensors", ".pt", ".pth", ".ckpt", ".bin", ".npz")
@@ -117,7 +117,13 @@ def _validate_weights(files: dict[str, Path]) -> None:
 
 
 def pick_model_file(names: list[str]) -> str | None:
-    """Choose the weights file from a repo listing: safetensors preferred."""
+    """Choose the weights file from a repo listing: a sharded-checkpoint
+    index first (the model is too big for one file), then safetensors,
+    then the other formats."""
+    indices = [n for n in names if is_shard_index(n)]
+    if indices:
+        return sorted(indices, key=lambda n: (not n.endswith(
+            ".safetensors.index.json"), n.count("/"), len(n)))[0]
     by_ext: dict[str, list[str]] = {}
     for n in names:
         for ext in _WEIGHT_EXTS:
@@ -128,6 +134,17 @@ def pick_model_file(names: list[str]) -> str | None:
             # prefer top-level, shortest path
             return sorted(by_ext[ext], key=lambda n: (n.count("/"), len(n)))[0]
     return None
+
+
+def shard_names_from_index(index_path: Path, remote_dir: str) -> list[str]:
+    """Remote paths of the shards a downloaded index file references."""
+    try:
+        weight_map = json.loads(index_path.read_text())["weight_map"]
+    except (json.JSONDecodeError, KeyError, TypeError) as exc:
+        raise RepositoryError(
+            f"Malformed shard index {index_path.name}") from exc
+    shards = sorted(set(weight_map.values()))
+    return [f"{remote_dir}/{s}" if remote_dir else s for s in shards]
 
 
 def pick_config_file(names: list[str]) -> str | None:
@@ -166,6 +183,12 @@ class HuggingFaceRepository:
         for name in filter(None, [model_file, config_file]):
             url = self.RESOLVE.format(repo=source, rev=revision, file=name)
             out[name] = _download_file(url, safe_join(dest, name), events, source)
+        if is_shard_index(model_file):
+            remote_dir = "/".join(model_file.split("/")[:-1])
+            for shard in shard_names_from_index(out[model_file], remote_dir):
+                url = self.RESOLVE.format(repo=source, rev=revision, file=shard)
+                out[shard] = _download_file(url, safe_join(dest, shard),
+                                            events, source)
         _validate_weights(out)
         return out
 
@@ -262,9 +285,20 @@ class GitHubRepository:
         config_file = pick_config_file(info.files)
         owner_repo = info.model_id
         out = {}
+
+        def raw_url(name: str) -> str:
+            return (f"https://raw.githubusercontent.com/{owner_repo}/"
+                    f"{info.revision}/{name}")
+
         for name in filter(None, [model_file, config_file]):
-            url = f"https://raw.githubusercontent.com/{owner_repo}/{info.revision}/{name}"
-            out[name] = _download_file(url, safe_join(dest, name), events, source)
+            out[name] = _download_file(raw_url(name), safe_join(dest, name),
+                                       events, source)
+        if is_shard_index(model_file):
+            remote_dir = "/".join(model_file.split("/")[:-1])
+            for shard in shard_names_from_index(out[model_file], remote_dir):
+                out[shard] = _download_file(raw_url(shard),
+                                            safe_join(dest, shard),
+                                            events, source)
         _validate_weights(out)
         return out
 

@@ -120,3 +120,83 @@ def test_import_checkpoint_end_to_end(tmp_path):
     got = import_checkpoint(tmp_path / "ckpt.pt")
     np.testing.assert_allclose(got["enc.weight"], conv.weight.detach().numpy(),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_checkpoint_merge(tmp_path, rng):
+    """HF sharded checkpoints (index.json + N shards) load as one state
+    dict through the normal import pipeline."""
+    import json
+
+    from neuralcodecs_tpu.core.importer import import_checkpoint
+    from neuralcodecs_tpu.core.safetensors_io import save_safetensors
+
+    a = rng.standard_normal((4, 3)).astype(np.float32)
+    b = rng.standard_normal((5,)).astype(np.float32)
+    c = rng.standard_normal((2, 2)).astype(np.float32)
+    save_safetensors(tmp_path / "model-00001-of-00002.safetensors",
+                     {"enc.weight": a, "enc.bias": b})
+    save_safetensors(tmp_path / "model-00002-of-00002.safetensors",
+                     {"dec.weight": c})
+    index = {
+        "metadata": {"total_size": int(a.nbytes + b.nbytes + c.nbytes)},
+        "weight_map": {
+            "enc.weight": "model-00001-of-00002.safetensors",
+            "enc.bias": "model-00001-of-00002.safetensors",
+            "dec.weight": "model-00002-of-00002.safetensors",
+        },
+    }
+    idx = tmp_path / "model.safetensors.index.json"
+    idx.write_text(json.dumps(index))
+
+    sd = import_checkpoint(idx)
+    assert set(sd) == {"enc.weight", "enc.bias", "dec.weight"}
+    np.testing.assert_array_equal(sd["enc.weight"], a)
+    np.testing.assert_array_equal(sd["dec.weight"], c)
+
+
+def test_sharded_checkpoint_resolve_prefers_index(tmp_path, rng):
+    """Directory resolve must pick the shard index over individual shards."""
+    from neuralcodecs_tpu.core.loader import LoadOptions, ModelLoader
+    from neuralcodecs_tpu.core.safetensors_io import save_safetensors
+
+    save_safetensors(tmp_path / "model-00001-of-00001.safetensors",
+                     {"w": np.zeros((2, 2), np.float32)})
+    import json
+    (tmp_path / "model.safetensors.index.json").write_text(json.dumps(
+        {"weight_map": {"w": "model-00001-of-00001.safetensors"}}))
+    got = ModelLoader().resolve(str(tmp_path), LoadOptions())
+    assert got.name == "model.safetensors.index.json"
+
+
+def test_sharded_checkpoint_errors(tmp_path, rng):
+    import json
+
+    from neuralcodecs_tpu.core.exceptions import LoadError
+    from neuralcodecs_tpu.core.importer import import_checkpoint
+    from neuralcodecs_tpu.core.safetensors_io import save_safetensors
+
+    # missing shard
+    idx = tmp_path / "m.safetensors.index.json"
+    idx.write_text(json.dumps({"weight_map": {"w": "gone.safetensors"}}))
+    with pytest.raises(LoadError, match="missing"):
+        import_checkpoint(idx)
+    # traversal in shard name
+    idx.write_text(json.dumps({"weight_map": {"w": "../evil.safetensors"}}))
+    with pytest.raises(LoadError, match="Unsafe"):
+        import_checkpoint(idx)
+    # tensor named in index but absent from shards
+    save_safetensors(tmp_path / "s.safetensors", {"w": np.zeros(2, np.float32)})
+    idx.write_text(json.dumps(
+        {"weight_map": {"w": "s.safetensors", "extra": "s.safetensors"}}))
+    with pytest.raises(LoadError, match="absent"):
+        import_checkpoint(idx)
+
+
+def test_pick_model_file_prefers_shard_index():
+    from neuralcodecs_tpu.core.repos import pick_model_file
+
+    names = ["model-00001-of-00002.safetensors",
+             "model-00002-of-00002.safetensors",
+             "model.safetensors.index.json", "config.json"]
+    assert pick_model_file(names) == "model.safetensors.index.json"
+    assert pick_model_file(["a.safetensors"]) == "a.safetensors"
