@@ -19,14 +19,41 @@ from neuralcodecs_tpu.core.registry import registry
 from neuralcodecs_tpu.core.safetensors_io import load_safetensors, save_safetensors
 
 
-def save_pretrained(model, directory: str | Path) -> Path:
-    """Write ``model.safetensors`` (native-layout params) + ``config.json``."""
+def save_pretrained(model, directory: str | Path,
+                    max_shard_bytes: int | None = None) -> Path:
+    """Write ``model.safetensors`` (native-layout params) + ``config.json``.
+
+    With ``max_shard_bytes`` set (e.g. 2 GB for multi-GB Dia exports), the
+    params are split into ``model-XXXXX-of-YYYYY.safetensors`` shards plus
+    a standard HF ``model.safetensors.index.json`` that the importer (and
+    the HF ecosystem) reads back.
+    """
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     tensors = {name: np.asarray(arr) for name, arr in model.params.items()}
     meta = {"format": "neuralcodecs-tpu", "layout": "native",
             "architecture": model.config.architecture}
-    save_safetensors(directory / "model.safetensors", tensors, metadata=meta)
+    total = sum(t.nbytes for t in tensors.values())
+    if max_shard_bytes is not None and total > max_shard_bytes:
+        shards: list[dict[str, np.ndarray]] = [{}]
+        used = 0
+        for name, arr in tensors.items():
+            if used and used + arr.nbytes > max_shard_bytes:
+                shards.append({})
+                used = 0
+            shards[-1][name] = arr
+            used += arr.nbytes
+        n = len(shards)
+        weight_map = {}
+        for i, shard in enumerate(shards):
+            shard_name = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+            save_safetensors(directory / shard_name, shard, metadata=meta)
+            weight_map.update({k: shard_name for k in shard})
+        (directory / "model.safetensors.index.json").write_text(json.dumps(
+            {"metadata": {"total_size": total}, "weight_map": weight_map},
+            indent=2))
+    else:
+        save_safetensors(directory / "model.safetensors", tensors, metadata=meta)
     config = dict(model.config.to_dict())
     config["architecture"] = model.config.architecture
     (directory / "config.json").write_text(json.dumps(config, indent=2))
@@ -47,7 +74,13 @@ def load_pretrained(directory: str | Path, architecture: str | None = None):
     model = entry.factory(config)
     import jax.numpy as jnp
 
-    tensors = load_safetensors(directory / "model.safetensors")
+    index = directory / "model.safetensors.index.json"
+    if index.is_file():
+        from neuralcodecs_tpu.core.importer import load_state_dict as _load
+
+        tensors = _load(index)
+    else:
+        tensors = load_safetensors(directory / "model.safetensors")
     missing = set(model.params) - set(tensors)
     if missing:
         from neuralcodecs_tpu.core.exceptions import LoadError

@@ -135,3 +135,27 @@ def test_train_step_remat(rng):
                         jnp.float32)
     state, loss = step_fn(state, audio)
     assert np.isfinite(float(loss))
+
+
+def test_save_pretrained_sharded_roundtrip(tmp_path, rng):
+    """Sharded export (HF index layout) loads back bit-exact."""
+    from neuralcodecs_tpu.core.export import load_pretrained, save_pretrained
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+
+    cfg = SNACConfig(sampling_rate=16000, encoder_dim=8, encoder_rates=[2, 4],
+                     decoder_dim=32, decoder_rates=[4, 2],
+                     attn_window_size=None, codebook_size=32, codebook_dim=4,
+                     vq_strides=[2, 1], noise=False, depthwise=False)
+    model = SNAC(cfg, seed=3)
+    out = tmp_path / "snac_sharded"
+    save_pretrained(model, out, max_shard_bytes=64 * 1024)
+    shards = sorted(p.name for p in out.glob("model-*.safetensors"))
+    assert len(shards) > 1
+    assert (out / "model.safetensors.index.json").is_file()
+    assert not (out / "model.safetensors").exists()
+
+    loaded = load_pretrained(out)
+    assert set(loaded.params) == set(model.params)
+    for k in model.params:
+        np.testing.assert_array_equal(np.asarray(loaded.params[k]),
+                                      np.asarray(model.params[k]))
