@@ -190,6 +190,23 @@ def cmd_interactive(args) -> int:
     return 1
 
 
+def cmd_serve(args) -> int:
+    """Serve one codec over HTTP (stdlib server; see cli/serve.py)."""
+    from neuralcodecs_tpu.cli.serve import CodecServer
+
+    model = _load_codec(args.codec, args.model, args.preset)
+    server = CodecServer(model, args.codec, host=args.host, port=args.port)
+    print(f"warming up {args.codec} ...", file=sys.stderr)
+    server.warmup()
+    print(f"serving {args.codec} on http://{args.host}:{server.port} "
+          f"(POST /roundtrip /encode /decode, GET /healthz)", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -251,6 +268,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     be = sub.add_parser("bench", help="run the benchmark suite")
     be.set_defaults(fn=cmd_bench)
+
+    sv = sub.add_parser("serve", help="serve a codec over HTTP")
+    sv.add_argument("--codec", choices=["snac", "dac", "encodec"], default="snac")
+    sv.add_argument("--model", help="weights path or HF repo id")
+    sv.add_argument("--preset")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8799)
+    sv.set_defaults(fn=cmd_serve, operation="initialization")
 
     it = sub.add_parser("interactive", help="interactive menu (Examples-app style)")
     it.set_defaults(fn=cmd_interactive)

@@ -1,0 +1,186 @@
+"""Minimal production serving endpoint for the codecs.
+
+The reference ships only an interactive demo app; a serving framework needs
+a network surface. This is a dependency-free (stdlib http.server) HTTP
+endpoint around one jitted codec:
+
+    python -m neuralcodecs_tpu.cli serve --codec snac --preset 24khz --port 8799
+
+Routes (WAV = 16-bit PCM RIFF bytes):
+    GET  /healthz            -> {"status": "ok", "codec": ..., "sample_rate": ...}
+    POST /roundtrip          WAV in  -> WAV out (encode+decode)
+    POST /encode             WAV in  -> {"codes": [[...]...], "sample_rate": N}
+    POST /decode             {"codes": ...} JSON in -> WAV out
+
+Design notes (TPU serving):
+- the model's jitted functions are compiled once at startup (a warmup
+  request runs before the socket opens), so request latency is steady-state;
+- one accelerator => device work is serialized behind a lock while
+  ThreadingHTTPServer overlaps network I/O; long audio still benefits from
+  the chunked-batch execution inside the model;
+- requests are size-capped and malformed input returns 400 with a JSON
+  error body, never a traceback.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+MAX_BODY_BYTES = 256 * 1024 * 1024  # ~25 min of 16-bit 48 kHz stereo
+
+
+def _wav_to_array(data: bytes) -> tuple[np.ndarray, int]:
+    with wave.open(io.BytesIO(data), "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        ch = f.getnchannels()
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV is supported")
+        pcm = np.frombuffer(f.readframes(n), dtype="<i2").reshape(-1, ch)
+    audio = pcm.astype(np.float32) / 32768.0
+    return audio.mean(axis=1), sr  # mono mixdown
+
+
+def _array_to_wav(audio: np.ndarray, sr: int) -> bytes:
+    pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class CodecServer:
+    """Wraps one codec model behind an HTTP server; device calls serialize
+    behind ``_device_lock``."""
+
+    def __init__(self, model, codec_name: str, host: str = "127.0.0.1",
+                 port: int = 8799):
+        self.model = model
+        self.codec_name = codec_name
+        self._device_lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _reply(self, code: int, body: bytes, ctype: str) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _reply_json(self, code: int, obj) -> None:
+                self._reply(code, json.dumps(obj).encode(), "application/json")
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply_json(200, {
+                        "status": "ok",
+                        "codec": server.codec_name,
+                        "sample_rate": server.model.config.sample_rate,
+                    })
+                else:
+                    self._reply_json(404, {"error": "unknown route"})
+
+            def do_POST(self):
+                try:
+                    length = int(self.headers.get("Content-Length") or 0)
+                    if length <= 0 or length > MAX_BODY_BYTES:
+                        self._reply_json(413, {"error": "bad request size"})
+                        return
+                    body = self.rfile.read(length)
+                    if self.path == "/roundtrip":
+                        audio, sr = _wav_to_array(body)
+                        with server._device_lock:
+                            out = server.model.process_audio(audio, sr)
+                        self._reply(200, _array_to_wav(
+                            np.asarray(out), server.model.config.sample_rate),
+                            "audio/wav")
+                    elif self.path == "/encode":
+                        audio, sr = _wav_to_array(body)
+                        with server._device_lock:
+                            codes = server.encode(audio, sr)
+                        self._reply_json(200, {
+                            "codes": codes,
+                            "sample_rate": server.model.config.sample_rate,
+                        })
+                    elif self.path == "/decode":
+                        payload = json.loads(body)
+                        with server._device_lock:
+                            out = server.decode(payload["codes"])
+                        self._reply(200, _array_to_wav(
+                            out, server.model.config.sample_rate), "audio/wav")
+                    else:
+                        self._reply_json(404, {"error": "unknown route"})
+                except (ValueError, KeyError, json.JSONDecodeError,
+                        wave.Error) as exc:
+                    self._reply_json(400, {"error": str(exc)})
+                except Exception as exc:  # keep the server alive
+                    self._reply_json(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_port
+
+    # -- codec-family adapters -------------------------------------------------
+
+    def encode(self, audio: np.ndarray, sr: int):
+        from neuralcodecs_tpu.dsp.resample import resample_poly
+
+        model = self.model
+        if sr != model.config.sample_rate:
+            audio = np.asarray(resample_poly(audio, sr, model.config.sample_rate))
+        if self.codec_name == "encodec":
+            frames = model.encode(audio)
+            return [np.asarray(f.codes).tolist() for f in frames]
+        if self.codec_name == "dac":
+            _, codes, _, _, _ = model.encode(audio)
+            return np.asarray(codes).tolist()
+        return [np.asarray(c).tolist() for c in model.encode(audio)]  # snac
+
+    def decode(self, codes) -> np.ndarray:
+        model = self.model
+        if self.codec_name == "encodec":
+            from neuralcodecs_tpu.models.encodec.model import EncodedFrame
+            import jax.numpy as jnp
+
+            frames = [EncodedFrame(jnp.asarray(c, jnp.int32), None)
+                      for c in codes]
+            return np.asarray(model.decode(frames))[0, 0]
+        if self.codec_name == "dac":
+            return np.asarray(model.from_codes(np.asarray(codes, np.int32)))[0]
+        return np.asarray(model.decode([np.asarray(c, np.int32)
+                                        for c in codes]))[0]  # snac
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def warmup(self) -> None:
+        """Compile the hot paths before accepting traffic."""
+        sr = self.model.config.sample_rate
+        tone = (0.1 * np.sin(2 * np.pi * 440 *
+                             np.arange(sr) / sr)).astype(np.float32)
+        with self._device_lock:
+            self.model.process_audio(tone, sr)
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

@@ -1,0 +1,96 @@
+"""HTTP serving endpoint tests (localhost, ephemeral port)."""
+
+import http.client
+import io
+import json
+import wave
+
+import numpy as np
+
+from neuralcodecs_tpu.cli.serve import CodecServer, _array_to_wav, _wav_to_array
+
+
+def _tiny_snac():
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+
+    cfg = SNACConfig(sampling_rate=16000, encoder_dim=8, encoder_rates=[2, 4],
+                     decoder_dim=32, decoder_rates=[4, 2],
+                     attn_window_size=None, codebook_size=32, codebook_dim=4,
+                     vq_strides=[2, 1], noise=False, depthwise=False)
+    return SNAC(cfg)
+
+
+def _wav_bytes(sr=16000, seconds=0.25):
+    t = np.arange(int(sr * seconds)) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    return _array_to_wav(tone, sr)
+
+
+def test_wav_helpers_roundtrip():
+    raw = _wav_bytes()
+    audio, sr = _wav_to_array(raw)
+    assert sr == 16000 and audio.ndim == 1
+    again, sr2 = _wav_to_array(_array_to_wav(audio, sr))
+    np.testing.assert_allclose(again, audio, atol=1e-4)
+
+
+def test_serve_roundtrip_encode_decode():
+    server = CodecServer(_tiny_snac(), "snac", port=0)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        health = json.loads(resp.read())
+        assert resp.status == 200 and health["status"] == "ok"
+        assert health["sample_rate"] == 16000
+
+        body = _wav_bytes()
+        conn.request("POST", "/roundtrip", body=body,
+                     headers={"Content-Type": "audio/wav"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = resp.read()
+        with wave.open(io.BytesIO(out), "rb") as f:
+            assert f.getframerate() == 16000
+            assert f.getnframes() > 0
+
+        conn.request("POST", "/encode", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        enc = json.loads(resp.read())
+        assert len(enc["codes"]) == 2  # two vq stages
+
+        conn.request("POST", "/decode",
+                     body=json.dumps({"codes": enc["codes"]}).encode())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with wave.open(io.BytesIO(resp.read()), "rb") as f:
+            assert f.getnframes() > 0
+    finally:
+        server.shutdown()
+
+
+def test_serve_rejects_bad_input():
+    server = CodecServer(_tiny_snac(), "snac", port=0)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        conn.request("POST", "/roundtrip", body=b"not a wav file")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        err = json.loads(resp.read())
+        assert "error" in err
+
+        conn.request("POST", "/nothing", body=b"{}")
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+
+        conn.request("POST", "/decode", body=b"{ bad json")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+    finally:
+        server.shutdown()
