@@ -191,10 +191,27 @@ def cmd_interactive(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    """Serve one codec over HTTP (stdlib server; see cli/serve.py)."""
+    """Serve one codec (or Dia TTS) over HTTP (see cli/serve.py)."""
     from neuralcodecs_tpu.cli.serve import CodecServer
 
-    model = _load_codec(args.codec, args.model, args.preset)
+    if args.codec == "dia":
+        import jax.numpy as jnp
+
+        from neuralcodecs_tpu.models.dia import Dia, DiaConfig
+
+        if args.model:
+            from neuralcodecs_tpu.core.loader import load_dia
+
+            model = load_dia(args.model, compute_dtype=jnp.bfloat16)
+        else:
+            print("note: no --model given; randomly initialized Dia "
+                  "(output will be noise)", file=sys.stderr)
+            model = Dia(DiaConfig(), compute_dtype=jnp.bfloat16)
+        from neuralcodecs_tpu.models.dac import DAC, DACConfig
+
+        model.set_dac_model(DAC(DACConfig()))
+    else:
+        model = _load_codec(args.codec, args.model, args.preset)
     server = CodecServer(model, args.codec, host=args.host, port=args.port)
     print(f"warming up {args.codec} ...", file=sys.stderr)
     server.warmup()
@@ -270,7 +287,7 @@ def build_parser() -> argparse.ArgumentParser:
     be.set_defaults(fn=cmd_bench)
 
     sv = sub.add_parser("serve", help="serve a codec over HTTP")
-    sv.add_argument("--codec", choices=["snac", "dac", "encodec"], default="snac")
+    sv.add_argument("--codec", choices=["snac", "dac", "encodec", "dia"], default="snac")
     sv.add_argument("--model", help="weights path or HF repo id")
     sv.add_argument("--preset")
     sv.add_argument("--host", default="127.0.0.1")

@@ -122,6 +122,16 @@ class CodecServer:
                             out = server.decode(payload["codes"])
                         self._reply(200, _array_to_wav(
                             out, server.model.config.sample_rate), "audio/wav")
+                    elif self.path == "/tts" and server.codec_name == "dia":
+                        payload = json.loads(body)
+                        text = payload["text"]
+                        max_tokens = payload.get("max_tokens")
+                        with server._device_lock:
+                            audios = server.model.generate(
+                                [text], max_tokens=max_tokens)
+                        self._reply(200, _array_to_wav(
+                            np.asarray(audios[0]),
+                            server.model.config.sample_rate), "audio/wav")
                     else:
                         self._reply_json(404, {"error": "unknown route"})
                 except (ValueError, KeyError, json.JSONDecodeError,
@@ -167,6 +177,10 @@ class CodecServer:
 
     def warmup(self) -> None:
         """Compile the hot paths before accepting traffic."""
+        if self.codec_name == "dia":
+            with self._device_lock:
+                self.model.generate_codes(["[S1]warmup"], max_tokens=8)
+            return
         sr = self.model.config.sample_rate
         tone = (0.1 * np.sin(2 * np.pi * 440 *
                              np.arange(sr) / sr)).astype(np.float32)

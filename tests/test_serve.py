@@ -94,3 +94,32 @@ def test_serve_rejects_bad_input():
         resp.read()
     finally:
         server.shutdown()
+
+
+def test_serve_dia_tts_route():
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_dia import tiny_config
+
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+    from neuralcodecs_tpu.models.dia import Dia
+
+    dia = Dia(tiny_config(), seed=0)
+    dac_cfg = DACConfig(encoder_dim=8, encoder_rates=[2, 2], decoder_dim=32,
+                        decoder_rates=[2, 2], n_codebooks=3, codebook_size=1024,
+                        codebook_dim=4, sample_rate=44100)
+    dia.set_dac_model(DAC(dac_cfg))
+
+    server = CodecServer(dia, "dia", port=0)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+        conn.request("POST", "/tts",
+                     body=json.dumps({"text": "[S1]hi", "max_tokens": 16}).encode())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with wave.open(io.BytesIO(resp.read()), "rb") as f:
+            assert f.getnframes() > 0
+            assert f.getframerate() == dia.config.sample_rate
+    finally:
+        server.shutdown()
