@@ -32,15 +32,34 @@ def write_header(stream: BinaryIO, metadata: dict[str, Any]) -> None:
     stream.write(meta_bytes)
 
 
+#: sanity cap for the metadata block — a real header is a few hundred bytes
+MAX_META_BYTES = 1 << 20
+
+
 def read_header(stream: BinaryIO) -> dict[str, Any]:
+    """Parse the .ecdc header; malformed/truncated input raises ValueError
+    (never a raw struct/json error — the bytes may come from the network)."""
     magic = stream.read(4)
     if magic != MAGIC:
         raise ValueError("Invalid Encodec header magic number")
     version = stream.read(1)
     if not version or version[0] != CURRENT_VERSION:
         raise ValueError(f"Unsupported header version: {version!r}")
-    (meta_len,) = struct.unpack(">i", stream.read(4))
-    meta = json.loads(stream.read(meta_len).decode("utf-8"))
+    raw_len = stream.read(4)
+    if len(raw_len) != 4:
+        raise ValueError("Truncated .ecdc header (metadata length)")
+    (meta_len,) = struct.unpack(">i", raw_len)
+    if not (0 < meta_len <= MAX_META_BYTES):
+        raise ValueError(f"Implausible .ecdc metadata length: {meta_len}")
+    raw_meta = stream.read(meta_len)
+    if len(raw_meta) != meta_len:
+        raise ValueError("Truncated .ecdc header (metadata body)")
+    try:
+        meta = json.loads(raw_meta.decode("utf-8"))
+    except (json.JSONDecodeError, UnicodeDecodeError) as exc:
+        raise ValueError("Malformed .ecdc metadata JSON") from exc
+    if not isinstance(meta, dict):
+        raise ValueError("Malformed .ecdc metadata (not an object)")
     return meta
 
 
@@ -59,7 +78,14 @@ def write_scale_values(stream: BinaryIO, scales) -> None:
 
 
 def read_scale_values(stream: BinaryIO) -> list[float]:
-    (count,) = struct.unpack(">i", stream.read(4))
+    raw = stream.read(4)
+    if len(raw) != 4:
+        raise ValueError("Truncated .ecdc scale block")
+    (count,) = struct.unpack(">i", raw)
     if not (0 < count <= 1000):
         raise ValueError(f"Invalid scale count: {count}")
-    return [struct.unpack(">f", stream.read(4))[0] for _ in range(count)]
+    body = stream.read(4 * count)
+    if len(body) != 4 * count:
+        raise ValueError("Truncated .ecdc scale block")
+    return [struct.unpack(">f", body[4 * i: 4 * i + 4])[0]
+            for i in range(count)]

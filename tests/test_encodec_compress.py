@@ -251,3 +251,36 @@ def test_lm_matches_torch_oracle(rng):
         step_out.append(np.asarray(probas)[..., 0])
     stepped = np.stack(step_out, axis=-1)
     np.testing.assert_allclose(stepped, ref, rtol=2e-3, atol=1e-4)
+
+
+def test_ecdc_header_rejects_malformed_input():
+    """Untrusted .ecdc bytes must fail with ValueError, never raw
+    struct/json errors (the blob may come off the network)."""
+    cases = [
+        b"",                                   # empty
+        b"NOPE" + b"\x00" * 16,                # bad magic
+        ecdc.MAGIC + b"\x07" + b"\x00" * 8,    # unknown version
+        ecdc.MAGIC + b"\x00" + b"\x00\x00",    # truncated length
+        ecdc.MAGIC + b"\x00" + (0x7FFFFFFF).to_bytes(4, "big"),  # huge length
+        ecdc.MAGIC + b"\x00" + (10).to_bytes(4, "big") + b"short",  # short body
+        ecdc.MAGIC + b"\x00" + (4).to_bytes(4, "big") + b"\xff\xfe\x00\x01",  # bad utf8/json
+        ecdc.MAGIC + b"\x00" + (2).to_bytes(4, "big") + b"[]",  # not an object
+    ]
+    for raw in cases:
+        with pytest.raises(ValueError):
+            ecdc.read_header(io.BytesIO(raw))
+
+    with pytest.raises(ValueError):
+        ecdc.read_scale_values(io.BytesIO(b"\x00\x00"))          # truncated count
+    with pytest.raises(ValueError):
+        ecdc.read_scale_values(io.BytesIO((3).to_bytes(4, "big") + b"\x00" * 4))
+
+
+def test_decompress_rejects_garbage(rng):
+    from neuralcodecs_tpu.models.encodec import Encodec
+
+    model = Encodec(tiny_config())
+    for blob in (b"", b"garbage bytes", b"ECDC" + b"\x00" * 3):
+        with pytest.raises(Exception) as exc_info:
+            model.decompress(blob)
+        assert not isinstance(exc_info.value, (KeyError, IndexError))
