@@ -190,6 +190,24 @@ def cmd_interactive(args) -> int:
     return 1
 
 
+def cmd_validate(args) -> int:
+    """Config sanity + runtime smoke round-trip on a loaded model (the
+    reference's SNACValidator flow, Config/SNAC/SNACValidator.cs:21-147)."""
+    from neuralcodecs_tpu.core.validation import validate_config, validate_model
+
+    model = _load_codec(args.codec, args.model, args.preset)
+    validate_config(model.config)
+    validate_model(model)
+    print(json.dumps({
+        "success": True,
+        "codec": args.codec,
+        "architecture": model.config.architecture,
+        "sample_rate": model.config.sample_rate,
+        "params": sum(int(np.asarray(v).size) for v in model.params.values()),
+    }))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serve one codec (or Dia TTS) over HTTP (see cli/serve.py)."""
     from neuralcodecs_tpu.cli.serve import CodecServer
@@ -285,6 +303,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     be = sub.add_parser("bench", help="run the benchmark suite")
     be.set_defaults(fn=cmd_bench)
+
+    va = sub.add_parser("validate", help="config + smoke round-trip validation")
+    va.add_argument("--codec", choices=["snac", "dac", "encodec"], default="snac")
+    va.add_argument("--model", help="weights path or HF repo id")
+    va.add_argument("--preset")
+    va.set_defaults(fn=cmd_validate, operation="initialization")
 
     sv = sub.add_parser("serve", help="serve a codec over HTTP")
     sv.add_argument("--codec", choices=["snac", "dac", "encodec", "dia"], default="snac")

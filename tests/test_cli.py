@@ -153,3 +153,25 @@ def test_cli_compress_decompress_roundtrip(tmp_path, rng, capsys):
             assert w.getnframes() > 0
     finally:
         cli_main._load_codec = orig
+
+
+def test_cli_validate(tmp_path, capsys):
+    import neuralcodecs_tpu.cli.main as cli_main
+    from neuralcodecs_tpu.cli.main import main
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+
+    cfg = SNACConfig(sampling_rate=16000, encoder_dim=8, encoder_rates=[2, 4],
+                     decoder_dim=32, decoder_rates=[4, 2],
+                     attn_window_size=None, codebook_size=32, codebook_dim=4,
+                     vq_strides=[2, 1], noise=False, depthwise=False)
+    orig = cli_main._load_codec
+    cli_main._load_codec = lambda codec, model_path, preset: SNAC(cfg)
+    try:
+        rc = main(["validate", "--codec", "snac"])
+    finally:
+        cli_main._load_codec = orig
+    assert rc == 0
+    import json as _json
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["success"] and rec["architecture"] == "snac"
+    assert rec["params"] > 0
