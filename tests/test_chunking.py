@@ -220,3 +220,58 @@ def test_batched_chunked_matches_per_stream_dac(rng):
     np.testing.assert_allclose(np.asarray(out_b["audio"][0]),
                                np.asarray(out_0["audio"][0]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_plan_chunks_invariants_fuzz(rng):
+    """Property fuzz: any accepted plan tiles [0, total) exactly with
+    aligned, in-bounds windows."""
+    from neuralcodecs_tpu.ops.chunking import plan_chunks
+
+    checked = 0
+    for _ in range(500):
+        total = int(rng.integers(1, 5000))
+        n = int(rng.integers(2, 12))
+        halo = int(rng.integers(0, 400))
+        align = int(rng.choice([1, 2, 4, 8, 16]))
+        total = -(-total // align) * align  # model callers pad to the lattice
+        plan = plan_chunks(total, n, halo, align)
+        if plan is None:
+            continue
+        checked += 1
+        cover = 0
+        for w, off, length, abs_start in zip(plan.starts, plan.core_offs,
+                                             plan.core_lens, plan.abs_starts):
+            assert 0 <= w and w + plan.length <= total
+            assert w % align == 0 and plan.length % align == 0
+            if length:
+                assert abs_start == cover  # cores tile left-to-right
+                assert w + off == abs_start
+                cover += length
+        assert cover == total
+        assert n * plan.length <= 1.5 * total  # inflation guard held
+    assert checked > 50  # the fuzz actually exercised accepted plans
+
+
+def test_split_stitch_identity_fuzz(rng):
+    """split + stitch of the identity function reproduces the input for
+    random shapes, scales and batch sizes."""
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.ops.chunking import (
+        plan_chunks, split_chunks, stitch_chunks)
+
+    done = 0
+    for _ in range(60):
+        total = int(rng.integers(64, 1500))
+        n = int(rng.integers(2, 8))
+        halo = int(rng.integers(0, 60))
+        scale = int(rng.choice([1, 2, 4]))
+        b = int(rng.choice([1, 2, 3]))
+        plan = plan_chunks(total, n, halo)
+        if plan is None:
+            continue
+        done += 1
+        x = jnp.asarray(rng.standard_normal((b, total * scale, 3)), jnp.float32)
+        y = stitch_chunks(split_chunks(x, plan, scale=scale), plan, scale=scale)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    assert done > 20
