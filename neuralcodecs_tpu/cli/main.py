@@ -148,7 +148,11 @@ def cmd_tts(args) -> int:
         from neuralcodecs_tpu.models.dac import DAC, DACConfig
 
         model.set_dac_model(DAC(DACConfig()))
-    audios = model.generate([args.text], max_tokens=args.max_tokens)
+    gen_kwargs = {}
+    if args.audio_prompt:
+        gen_kwargs["audio_prompt_paths"] = [args.audio_prompt]
+    audios = model.generate([args.text], max_tokens=args.max_tokens,
+                            **gen_kwargs)
     AudioSignal(audios[0], model.config.sample_rate).write(args.output)
     print(f"wrote {args.output} ({len(audios[0]) / model.config.sample_rate:.2f}s)")
     return 0
@@ -188,6 +192,16 @@ def cmd_interactive(args) -> int:
         return main(["bench"])
     print("unknown choice")
     return 1
+
+
+def cmd_zoo(args) -> int:
+    """List the well-known model ids (counterpart of the Examples app's
+    model picker, backed by core/zoo.py)."""
+    from neuralcodecs_tpu.core.zoo import zoo_models
+
+    for name in zoo_models():
+        print(name)
+    return 0
 
 
 def cmd_validate(args) -> int:
@@ -296,6 +310,9 @@ def build_parser() -> argparse.ArgumentParser:
     tts.add_argument("--model")
     tts.add_argument("--dac-model")
     tts.add_argument("--max-tokens", type=int, default=None)
+    tts.add_argument("--audio-prompt",
+                     help="WAV voice-clone prompt (DAC-encoded on the fly, "
+                          "Dia.LoadAudioPrompts parity)")
     tts.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     tts.add_argument("--int8", action="store_true",
                      help="weight-only int8 (fastest serving config)")
@@ -303,6 +320,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     be = sub.add_parser("bench", help="run the benchmark suite")
     be.set_defaults(fn=cmd_bench)
+
+    zo = sub.add_parser("zoo", help="list well-known model ids")
+    zo.set_defaults(fn=cmd_zoo, operation="initialization")
 
     va = sub.add_parser("validate", help="config + smoke round-trip validation")
     va.add_argument("--codec", choices=["snac", "dac", "encodec"], default="snac")

@@ -175,3 +175,17 @@ def test_cli_validate(tmp_path, capsys):
     rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["success"] and rec["architecture"] == "snac"
     assert rec["params"] > 0
+
+
+def test_cli_zoo_and_tts_prompt_flag(capsys):
+    from neuralcodecs_tpu.cli.main import build_parser, main
+
+    rc = main(["zoo"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "snac" in out and "encodec" in out
+
+    args = build_parser().parse_args(
+        ["tts", "--text", "[S1]x", "--output", "t.wav",
+         "--audio-prompt", "voice.wav"])
+    assert args.audio_prompt == "voice.wav"
