@@ -49,6 +49,35 @@ def _load_codec(codec: str, model_path: str | None, preset: str | None):
     return classes[codec](config)
 
 
+def _load_dia_cli(model_path: str | None, dtype: str = "bf16",
+                  int8: bool = False, dac_model: str | None = None):
+    """Build the serving-ready Dia (+DAC vocoder) the tts/serve commands share."""
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.models.dia import Dia, DiaConfig
+
+    # bf16 is the serving default: full-size f32 Dia (6.4 GB of params plus
+    # CFG-doubled KV caches) exhausts a 16 GB chip
+    jdtype = jnp.float32 if dtype == "f32" else jnp.bfloat16
+    if model_path:
+        from neuralcodecs_tpu.core.loader import load_dia
+
+        model = load_dia(model_path, compute_dtype=jdtype)
+    else:
+        print("note: no --model given; using a randomly initialized Dia "
+              "(output will be noise)", file=sys.stderr)
+        model = Dia(DiaConfig(), compute_dtype=jdtype)
+    if int8:
+        model.quantize_int8()
+    if dac_model:
+        model.load_dac_model(dac_model)
+    else:
+        from neuralcodecs_tpu.models.dac import DAC, DACConfig
+
+        model.set_dac_model(DAC(DACConfig()))
+    return model
+
+
 def cmd_roundtrip(args) -> int:
     from neuralcodecs_tpu.cli.visualize import audio_stats, compare_spectrograms
     from neuralcodecs_tpu.dsp.signal import AudioSignal
@@ -124,30 +153,10 @@ def cmd_decompress(args) -> int:
 
 
 def cmd_tts(args) -> int:
-    import jax.numpy as jnp
-
     from neuralcodecs_tpu.dsp.signal import AudioSignal
-    from neuralcodecs_tpu.models.dia import Dia, DiaConfig
 
-    # bf16 is the serving default: full-size f32 Dia (6.4 GB of params plus
-    # CFG-doubled KV caches) exhausts a 16 GB chip
-    dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
-    if args.model:
-        from neuralcodecs_tpu.core.loader import load_dia
-
-        model = load_dia(args.model, compute_dtype=dtype)
-    else:
-        print("note: no --model given; using a randomly initialized Dia "
-              "(output will be noise)", file=sys.stderr)
-        model = Dia(DiaConfig(), compute_dtype=dtype)
-    if args.int8:
-        model.quantize_int8()
-    if args.dac_model:
-        model.load_dac_model(args.dac_model)
-    else:
-        from neuralcodecs_tpu.models.dac import DAC, DACConfig
-
-        model.set_dac_model(DAC(DACConfig()))
+    model = _load_dia_cli(args.model, dtype=args.dtype, int8=args.int8,
+                          dac_model=args.dac_model)
     gen_kwargs = {}
     if args.audio_prompt:
         gen_kwargs["audio_prompt_paths"] = [args.audio_prompt]
@@ -227,21 +236,8 @@ def cmd_serve(args) -> int:
     from neuralcodecs_tpu.cli.serve import CodecServer
 
     if args.codec == "dia":
-        import jax.numpy as jnp
-
-        from neuralcodecs_tpu.models.dia import Dia, DiaConfig
-
-        if args.model:
-            from neuralcodecs_tpu.core.loader import load_dia
-
-            model = load_dia(args.model, compute_dtype=jnp.bfloat16)
-        else:
-            print("note: no --model given; randomly initialized Dia "
-                  "(output will be noise)", file=sys.stderr)
-            model = Dia(DiaConfig(), compute_dtype=jnp.bfloat16)
-        from neuralcodecs_tpu.models.dac import DAC, DACConfig
-
-        model.set_dac_model(DAC(DACConfig()))
+        model = _load_dia_cli(args.model, dtype=args.dtype, int8=args.int8,
+                              dac_model=args.dac_model)
     else:
         model = _load_codec(args.codec, args.model, args.preset)
     server = CodecServer(model, args.codec, host=args.host, port=args.port)
@@ -336,6 +332,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--preset")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8799)
+    sv.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
+                    help="Dia compute dtype (serving default bf16)")
+    sv.add_argument("--int8", action="store_true",
+                    help="Dia weight-only int8 (fastest serving config)")
+    sv.add_argument("--dac-model", help="DAC vocoder weights for Dia")
     sv.set_defaults(fn=cmd_serve, operation="initialization")
 
     it = sub.add_parser("interactive", help="interactive menu (Examples-app style)")

@@ -36,6 +36,7 @@ MAX_BODY_BYTES = 256 * 1024 * 1024  # ~25 min of 16-bit 48 kHz stereo
 
 
 def _wav_to_array(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (audio [C, T] float32, sample_rate)."""
     with wave.open(io.BytesIO(data), "rb") as f:
         sr = f.getframerate()
         n = f.getnframes()
@@ -43,19 +44,30 @@ def _wav_to_array(data: bytes) -> tuple[np.ndarray, int]:
         if f.getsampwidth() != 2:
             raise ValueError("only 16-bit PCM WAV is supported")
         pcm = np.frombuffer(f.readframes(n), dtype="<i2").reshape(-1, ch)
-    audio = pcm.astype(np.float32) / 32768.0
-    return audio.mean(axis=1), sr  # mono mixdown
+    return pcm.astype(np.float32).T / 32768.0, sr
+
+
+def _adapt_channels(audio: np.ndarray, want: int) -> np.ndarray:
+    """[C, T] -> [want, T]: mixdown extra channels, duplicate a mono input."""
+    have = audio.shape[0]
+    if have == want:
+        return audio
+    mono = audio.mean(axis=0, keepdims=True)
+    return np.broadcast_to(mono, (want, audio.shape[1]))
 
 
 def _array_to_wav(audio: np.ndarray, sr: int) -> bytes:
-    pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
+    """[T] or [C, T] float32 -> 16-bit PCM WAV bytes."""
+    a = np.asarray(audio, np.float32)
+    if a.ndim == 1:
+        a = a[None, :]
+    pcm = (np.clip(a, -1.0, 1.0) * 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as f:
-        f.setnchannels(1)
+        f.setnchannels(pcm.shape[0])
         f.setsampwidth(2)
         f.setframerate(sr)
-        f.writeframes(pcm.tobytes())
+        f.writeframes(pcm.T.reshape(-1).tobytes())
     return buf.getvalue()
 
 
@@ -104,22 +116,24 @@ class CodecServer:
                     if self.path == "/roundtrip":
                         audio, sr = _wav_to_array(body)
                         with server._device_lock:
-                            out = server.model.process_audio(audio, sr)
+                            out = server.roundtrip(audio, sr)
                         self._reply(200, _array_to_wav(
-                            np.asarray(out), server.model.config.sample_rate),
+                            out, server.model.config.sample_rate),
                             "audio/wav")
                     elif self.path == "/encode":
                         audio, sr = _wav_to_array(body)
                         with server._device_lock:
-                            codes = server.encode(audio, sr)
+                            codes, scales = server.encode(audio, sr)
                         self._reply_json(200, {
                             "codes": codes,
+                            "scales": scales,
                             "sample_rate": server.model.config.sample_rate,
                         })
                     elif self.path == "/decode":
                         payload = json.loads(body)
                         with server._device_lock:
-                            out = server.decode(payload["codes"])
+                            out = server.decode(payload["codes"],
+                                                payload.get("scales"))
                         self._reply(200, _array_to_wav(
                             out, server.model.config.sample_rate), "audio/wav")
                     elif self.path == "/tts" and server.codec_name == "dia":
@@ -145,29 +159,54 @@ class CodecServer:
 
     # -- codec-family adapters -------------------------------------------------
 
-    def encode(self, audio: np.ndarray, sr: int):
+    def _prepare_audio(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        """[C, T] request audio -> model-rate, model-channel layout."""
         from neuralcodecs_tpu.dsp.resample import resample_poly
 
         model = self.model
         if sr != model.config.sample_rate:
             audio = np.asarray(resample_poly(audio, sr, model.config.sample_rate))
-        if self.codec_name == "encodec":
-            frames = model.encode(audio)
-            return [np.asarray(f.codes).tolist() for f in frames]
-        if self.codec_name == "dac":
-            _, codes, _, _, _ = model.encode(audio)
-            return np.asarray(codes).tolist()
-        return [np.asarray(c).tolist() for c in model.encode(audio)]  # snac
+        want = getattr(model.config, "channels", 1)
+        audio = _adapt_channels(audio, want)
+        return audio if self.codec_name == "encodec" else audio[0]
 
-    def decode(self, codes) -> np.ndarray:
+    def roundtrip(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        model = self.model
+        x = self._prepare_audio(audio, sr)
+        if self.codec_name == "encodec":
+            # keep all channels (process_audio's contract is mono)
+            return np.asarray(model.forward(x))[0]
+        return np.asarray(model.process_audio(x, model.config.sample_rate))
+
+    def encode(self, audio: np.ndarray, sr: int):
+        """Returns (codes, scales-or-None) as JSON-ready lists."""
+        model = self.model
+        x = self._prepare_audio(audio, sr)
+        if self.codec_name == "encodec":
+            frames = model.encode(x)
+            codes = [np.asarray(f.codes).tolist() for f in frames]
+            scales = ([None if f.scale is None else np.asarray(f.scale).tolist()
+                       for f in frames]
+                      if any(f.scale is not None for f in frames) else None)
+            return codes, scales
+        if self.codec_name == "dac":
+            _, codes, _, _, _ = model.encode(x)
+            return np.asarray(codes).tolist(), None
+        return [np.asarray(c).tolist() for c in model.encode(x)], None  # snac
+
+    def decode(self, codes, scales=None) -> np.ndarray:
         model = self.model
         if self.codec_name == "encodec":
             from neuralcodecs_tpu.models.encodec.model import EncodedFrame
             import jax.numpy as jnp
 
-            frames = [EncodedFrame(jnp.asarray(c, jnp.int32), None)
-                      for c in codes]
-            return np.asarray(model.decode(frames))[0, 0]
+            frames = [
+                EncodedFrame(
+                    jnp.asarray(c, jnp.int32),
+                    None if scales is None or scales[i] is None
+                    else jnp.asarray(scales[i], jnp.float32))
+                for i, c in enumerate(codes)]
+            return np.asarray(model.decode(frames))[0]
         if self.codec_name == "dac":
             return np.asarray(model.from_codes(np.asarray(codes, np.int32)))[0]
         return np.asarray(model.decode([np.asarray(c, np.int32)
@@ -182,10 +221,12 @@ class CodecServer:
                 self.model.generate_codes(["[S1]warmup"], max_tokens=8)
             return
         sr = self.model.config.sample_rate
-        tone = (0.1 * np.sin(2 * np.pi * 440 *
-                             np.arange(sr) / sr)).astype(np.float32)
+        want = getattr(self.model.config, "channels", 1)
+        tone = np.broadcast_to(
+            (0.1 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr))
+            .astype(np.float32), (want, sr))
         with self._device_lock:
-            self.model.process_audio(tone, sr)
+            self.roundtrip(tone, sr)
 
     def serve_forever(self) -> None:
         self.httpd.serve_forever()

@@ -30,6 +30,13 @@ def save_pretrained(model, directory: str | Path,
     """
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
+    # remove any previous export layout so a re-save cannot leave a stale
+    # index/shards (load prefers the index) or a stale single file behind
+    for old_file in [directory / "model.safetensors",
+                     directory / "model.safetensors.index.json",
+                     *directory.glob("model-*-of-*.safetensors")]:
+        if old_file.is_file():
+            old_file.unlink()
     tensors = {name: np.asarray(arr) for name, arr in model.params.items()}
     meta = {"format": "neuralcodecs-tpu", "layout": "native",
             "architecture": model.config.architecture}

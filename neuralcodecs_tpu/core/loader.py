@@ -96,11 +96,27 @@ class ModelLoader(EventEmitter):
 
     @staticmethod
     def _is_native_export(weights_path: Path) -> bool:
-        if weights_path.suffix != ".safetensors":
-            return False
+        from neuralcodecs_tpu.core.files import is_shard_index
         from neuralcodecs_tpu.core.safetensors_io import read_safetensors_metadata
 
-        meta = read_safetensors_metadata(weights_path)
+        if is_shard_index(weights_path):
+            # a sharded save_pretrained export: the per-shard metadata
+            # carries the native markers; check the first shard
+            import json
+
+            try:
+                weight_map = json.loads(weights_path.read_text())["weight_map"]
+                first = sorted(set(weight_map.values()))[0]
+            except Exception:
+                return False
+            shard = weights_path.parent / first
+            if not (shard.is_file() and shard.suffix == ".safetensors"):
+                return False
+            meta = read_safetensors_metadata(shard)
+        elif weights_path.suffix == ".safetensors":
+            meta = read_safetensors_metadata(weights_path)
+        else:
+            return False
         return meta.get("format") == "neuralcodecs-tpu" and \
             meta.get("layout") == "native"
 
@@ -111,14 +127,19 @@ class ModelLoader(EventEmitter):
         """Find a config JSON next to the weights.
 
         Mirrors TorchModelLoader.GetConfigPath (TorchModelLoader.cs:250-264):
-        <stem>.json first, then config.json in the same directory.
+        <stem>.json first, then config.json in the same directory. A shard
+        index is itself a .json, so the sibling rule is skipped for it
+        (with_suffix would return the index itself).
         """
+        from neuralcodecs_tpu.core.files import is_shard_index
+
         if explicit is not None:
             p = Path(explicit)
             return p if p.is_file() else None
-        sibling = weights_path.with_suffix(".json")
-        if sibling.is_file():
-            return sibling
+        if not is_shard_index(weights_path):
+            sibling = weights_path.with_suffix(".json")
+            if sibling.is_file() and sibling != weights_path:
+                return sibling
         generic = weights_path.parent / "config.json"
         if generic.is_file():
             return generic
@@ -192,9 +213,15 @@ class ModelLoader(EventEmitter):
             # directly (bit-exact round-trip, no torch-layout conversion)
             import jax.numpy as jnp
 
+            from neuralcodecs_tpu.core.files import is_shard_index
+            from neuralcodecs_tpu.core.importer import (
+                load_state_dict as _load_merged)
             from neuralcodecs_tpu.core.safetensors_io import load_safetensors
 
-            tensors = load_safetensors(weights_path)
+            if is_shard_index(weights_path):
+                tensors = _load_merged(weights_path)  # merges native shards
+            else:
+                tensors = load_safetensors(weights_path)
             missing = set(model.params) - set(tensors)
             if missing:
                 raise LoadError(

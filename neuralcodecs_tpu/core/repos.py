@@ -270,14 +270,21 @@ class GitHubRepository:
                 by_name = {a.get("name", ""): a for a in assets}
                 config_file = pick_config_file(asset_names)
                 out = {}
-                for name in filter(None, [model_file, config_file]):
-                    url = by_name[name].get("browser_download_url")
+
+                def fetch_asset(name: str) -> Path:
+                    url = by_name.get(name, {}).get("browser_download_url")
                     if not url:
                         raise RepositoryError(
                             f"Release asset {name} in {source} has no "
                             "download URL (draft or expired asset?)", source)
-                    out[name] = _download_file(url, safe_join(dest, name),
-                                               events, source)
+                    return _download_file(url, safe_join(dest, name),
+                                          events, source)
+
+                for name in filter(None, [model_file, config_file]):
+                    out[name] = fetch_asset(name)
+                if is_shard_index(model_file):
+                    for shard in shard_names_from_index(out[model_file], ""):
+                        out[shard] = fetch_asset(shard)
                 _validate_weights(out)
                 return out
         if model_file is None:

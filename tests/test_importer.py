@@ -200,3 +200,64 @@ def test_pick_model_file_prefers_shard_index():
              "model.safetensors.index.json", "config.json"]
     assert pick_model_file(names) == "model.safetensors.index.json"
     assert pick_model_file(["a.safetensors"]) == "a.safetensors"
+
+
+def test_sharded_find_config_skips_index(tmp_path):
+    """find_config must not return the shard index itself as the config."""
+    import json
+
+    from neuralcodecs_tpu.core.loader import ModelLoader
+
+    idx = tmp_path / "model.safetensors.index.json"
+    idx.write_text(json.dumps({"weight_map": {}}))
+    (tmp_path / "config.json").write_text(json.dumps({"sampling_rate": 16000}))
+    got = ModelLoader.find_config(idx)
+    assert got is not None and got.name == "config.json"
+    # and without a config.json there is simply no config
+    (tmp_path / "config.json").unlink()
+    assert ModelLoader.find_config(idx) is None
+
+
+def test_sharded_native_export_loads_via_model_loader(tmp_path):
+    """A sharded save_pretrained export must load bit-exact through the
+    generic ModelLoader path (the CLI --model route), not just
+    load_pretrained."""
+    from neuralcodecs_tpu.core.export import save_pretrained
+    from neuralcodecs_tpu.core.loader import load_model
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+
+    cfg = SNACConfig(sampling_rate=16000, encoder_dim=8, encoder_rates=[2, 4],
+                     decoder_dim=32, decoder_rates=[4, 2],
+                     attn_window_size=None, codebook_size=32, codebook_dim=4,
+                     vq_strides=[2, 1], noise=False, depthwise=False)
+    model = SNAC(cfg, seed=5)
+    out = tmp_path / "export"
+    save_pretrained(model, out, max_shard_bytes=64 * 1024)
+    loaded = load_model("snac", str(out))
+    assert loaded.config.sampling_rate == 16000  # config.json was honored
+    for k in model.params:
+        np.testing.assert_array_equal(np.asarray(loaded.params[k]),
+                                      np.asarray(model.params[k]))
+
+
+def test_save_pretrained_removes_stale_layout(tmp_path):
+    """Re-saving unsharded into a previously-sharded directory must not
+    leave a stale index that wins at load time."""
+    from neuralcodecs_tpu.core.export import load_pretrained, save_pretrained
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+
+    cfg = SNACConfig(sampling_rate=16000, encoder_dim=8, encoder_rates=[2, 4],
+                     decoder_dim=32, decoder_rates=[4, 2],
+                     attn_window_size=None, codebook_size=32, codebook_dim=4,
+                     vq_strides=[2, 1], noise=False, depthwise=False)
+    v1 = SNAC(cfg, seed=1)
+    v2 = SNAC(cfg, seed=2)
+    d = tmp_path / "m"
+    save_pretrained(v1, d, max_shard_bytes=64 * 1024)
+    save_pretrained(v2, d)  # unsharded re-save
+    assert not (d / "model.safetensors.index.json").exists()
+    assert not list(d.glob("model-*-of-*.safetensors"))
+    loaded = load_pretrained(d)
+    k = "encoder.block.0.weight"
+    np.testing.assert_array_equal(np.asarray(loaded.params[k]),
+                                  np.asarray(v2.params[k]))

@@ -29,9 +29,14 @@ def _wav_bytes(sr=16000, seconds=0.25):
 def test_wav_helpers_roundtrip():
     raw = _wav_bytes()
     audio, sr = _wav_to_array(raw)
-    assert sr == 16000 and audio.ndim == 1
+    assert sr == 16000 and audio.shape[0] == 1  # [C, T]
     again, sr2 = _wav_to_array(_array_to_wav(audio, sr))
     np.testing.assert_allclose(again, audio, atol=1e-4)
+    # stereo round-trips channel-count too
+    stereo = np.stack([audio[0], -audio[0]])
+    back, _ = _wav_to_array(_array_to_wav(stereo, sr))
+    assert back.shape[0] == 2
+    np.testing.assert_allclose(back, stereo, atol=1e-4)
 
 
 def test_serve_roundtrip_encode_decode():
@@ -121,5 +126,55 @@ def test_serve_dia_tts_route():
         with wave.open(io.BytesIO(resp.read()), "rb") as f:
             assert f.getnframes() > 0
             assert f.getframerate() == dia.config.sample_rate
+    finally:
+        server.shutdown()
+
+
+def test_serve_encodec_stereo_normalized():
+    """48k-style stereo+normalize model must serve: roundtrip keeps both
+    channels, /encode exposes scales, /decode applies them."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_encodec import tiny_config
+
+    from neuralcodecs_tpu.models.encodec import Encodec
+
+    cfg = tiny_config(channels=2, normalize=True, use_causal_conv=False,
+                      norm_type="time_group_norm")
+    server = CodecServer(Encodec(cfg), "encodec", port=0)
+    server.warmup()
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+        sr = cfg.sample_rate
+        t = np.arange(sr // 8) / sr
+        stereo = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                           0.25 * np.sin(2 * np.pi * 220 * t)]).astype(np.float32)
+        body = _array_to_wav(stereo, sr)
+
+        conn.request("POST", "/roundtrip", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with wave.open(io.BytesIO(resp.read())) as f:
+            assert f.getnchannels() == 2
+
+        conn.request("POST", "/encode", body=body)
+        resp = conn.getresponse()
+        enc = json.loads(resp.read())
+        assert resp.status == 200
+        assert enc["scales"] is not None  # normalize=True exposes scales
+
+        conn.request("POST", "/decode", body=json.dumps(
+            {"codes": enc["codes"], "scales": enc["scales"]}).encode())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with wave.open(io.BytesIO(resp.read())) as f:
+            assert f.getnchannels() == 2
+            out = np.frombuffer(f.readframes(f.getnframes()),
+                                dtype="<i2").astype(np.float32) / 32768.0
+        # scale denormalization restores the input's loudness scale: the
+        # random-weight codec reconstructs noise, but RMS must be in the
+        # same order of magnitude as the (scaled) input, not unit-RMS
+        assert np.sqrt((out ** 2).mean()) < 1.5
     finally:
         server.shutdown()
