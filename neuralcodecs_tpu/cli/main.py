@@ -8,7 +8,10 @@ as argparse subcommands:
     python -m neuralcodecs_tpu.cli roundtrip --codec snac --input in.wav --output out.wav
     python -m neuralcodecs_tpu.cli compress --input in.wav --output out.ecdc
     python -m neuralcodecs_tpu.cli decompress --input out.ecdc --output rec.wav
-    python -m neuralcodecs_tpu.cli tts --text "[S1]Hello!" --output tts.wav
+    python -m neuralcodecs_tpu.cli tts --text "[S1]Hello!" --output tts.wav [--audio-prompt v.wav]
+    python -m neuralcodecs_tpu.cli serve --codec snac --port 8799
+    python -m neuralcodecs_tpu.cli validate --codec snac --model path_or_repo
+    python -m neuralcodecs_tpu.cli zoo
     python -m neuralcodecs_tpu.cli bench
 """
 
