@@ -42,7 +42,7 @@ def _tiny_snac_checkpoint(tmp_path, with_config=True):
         elif name.endswith(".alpha"):
             sd[name] = torch.from_numpy(a.reshape(1, -1, 1))
         else:
-            sd[name] = torch.from_numpy(a)
+            sd[name] = torch.from_numpy(a.copy())
     return cfg, model, sd
 
 

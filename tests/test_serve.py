@@ -178,3 +178,33 @@ def test_serve_encodec_stereo_normalized():
         assert np.sqrt((out ** 2).mean()) < 1.5
     finally:
         server.shutdown()
+
+
+def test_serve_concurrent_requests_are_consistent():
+    """8 concurrent identical /roundtrip requests must all succeed and
+    return identical bytes (device lock serializes accelerator work under
+    the threaded server)."""
+    import concurrent.futures
+
+    server = CodecServer(_tiny_snac(), "snac", port=0)
+    server.warmup()
+    server.start_background()
+    try:
+        body = _wav_bytes()
+
+        def one(_):
+            conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                              timeout=120)
+            conn.request("POST", "/roundtrip", body=body)
+            resp = conn.getresponse()
+            data = resp.read()
+            conn.close()
+            return resp.status, data
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(one, range(8)))
+        assert all(st == 200 for st, _ in results)
+        first = results[0][1]
+        assert all(data == first for _, data in results)
+    finally:
+        server.shutdown()
