@@ -40,7 +40,7 @@ def _tiny_snac_checkpoint(tmp_path, with_config=True):
                 continue  # regenerate below from layers directly
             sd[name] = torch.from_numpy(np.ascontiguousarray(a.transpose(2, 1, 0)))
         elif name.endswith(".alpha"):
-            sd[name] = torch.from_numpy(a.reshape(1, -1, 1))
+            sd[name] = torch.from_numpy(a.reshape(1, -1, 1).copy())
         else:
             sd[name] = torch.from_numpy(a.copy())
     return cfg, model, sd
