@@ -109,3 +109,85 @@ def test_codec_event_source_disabled_is_free():
     src = CodecEventSource()
     assert not src.enabled
     src.module_execution("m", 1.0)  # no sink: must be a no-op
+
+
+def test_with_retry_backoff_and_exhaustion(monkeypatch):
+    """with_retry: retries only listed exceptions, calls on_retry, sleeps
+    with exponential backoff, re-raises after exhaustion."""
+    import neuralcodecs_tpu.core.retry as retry_mod
+    from neuralcodecs_tpu.core.retry import with_retry
+
+    sleeps = []
+    monkeypatch.setattr(retry_mod.time, "sleep", sleeps.append)
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "done"
+
+    seen = []
+    assert with_retry(flaky, attempts=4, base_delay=0.5,
+                      on_retry=lambda a, e: seen.append(a)) == "done"
+    assert calls["n"] == 3 and seen == [1, 2]
+    assert sleeps == [0.5, 1.0]  # exponential
+
+    # exhaustion re-raises the last error after `attempts` tries
+    calls["n"] = 0
+
+    def always_fails():
+        calls["n"] += 1
+        raise OSError("permanent")
+
+    import pytest as _pytest
+    with _pytest.raises(OSError, match="permanent"):
+        with_retry(always_fails, attempts=3, base_delay=0.1)
+    assert calls["n"] == 3
+
+    # non-listed exceptions pass straight through (no retry)
+    calls["n"] = 0
+
+    def raises_value_error():
+        calls["n"] += 1
+        raise ValueError("no retry")
+
+    with _pytest.raises(ValueError):
+        with_retry(raises_value_error, attempts=3)
+    assert calls["n"] == 1
+
+    # max_delay caps the backoff
+    sleeps.clear()
+    calls["n"] = 0
+    with _pytest.raises(OSError):
+        with_retry(always_fails, attempts=4, base_delay=10.0, max_delay=15.0)
+    assert sleeps == [10.0, 15.0, 15.0]
+
+
+def test_xplane_parser_on_real_trace(tmp_path):
+    """Parse a real jax.profiler trace (CPU) with the hand-rolled protobuf
+    reader; op durations must aggregate to something non-trivial."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.diagnostics.xplane import parse_xplane, summarize_trace
+
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x @ x.T).sum()
+
+    x = jnp.ones((256, 256), jnp.float32)
+    f(x).block_until_ready()
+    with jax.profiler.trace(str(tmp_path)):
+        for _ in range(3):
+            out = f(x)
+        out.block_until_ready()
+
+    planes = sorted(tmp_path.rglob("*.xplane.pb"))
+    assert planes, "profiler produced no xplane file"
+    # CPU runs record host planes; an empty-filter parse sees every plane
+    totals = parse_xplane(planes[-1], plane_filter="")
+    assert totals and all(isinstance(v, int) and v >= 0 for v in totals.values())
+    rows = summarize_trace(tmp_path, plane_filter="")
+    assert rows and rows[0][1] >= rows[-1][1]  # sorted descending
