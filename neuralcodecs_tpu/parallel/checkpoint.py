@@ -42,11 +42,15 @@ def restore_train_state(directory: str | Path,
     assert _HAS_ORBAX, "orbax-checkpoint is required for training checkpoints"
     directory = Path(directory).absolute()
     checkpointer = ocp.PyTreeCheckpointer()
-    restore_args = None
     if template is not None:
         target = {"params": template.params, "opt_state": template.opt_state,
                   "step": template.step}
-        tree = checkpointer.restore(directory, item=target)
+        # construct per-leaf restore args from the template so arrays are
+        # restored straight onto the template's shardings (no sharding-file
+        # fallback, which orbax warns is unsafe across topologies)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+        tree = checkpointer.restore(directory, item=target,
+                                    restore_args=restore_args)
     else:
         tree = checkpointer.restore(directory)
     if shardings is not None:
