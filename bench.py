@@ -289,14 +289,24 @@ def main() -> None:
         _emit("dac44_mixed_roundtrip_xRT", bench_dac(decoder_dtype="bfloat16"))
         _emit("encodec24_mixed_roundtrip_xRT", bench_encodec(decoder_dtype="bfloat16"))
         _emit("encodec48_mixed_roundtrip_xRT", bench_encodec48(decoder_dtype="bfloat16"))
-    if "--int8" in sys.argv:  # weight-only int8 Dia (serving config)
-        tok_s = bench_dia_int8()
-        print(json.dumps({
-            "metric": "dia_1.6b_int8_decode_tokens_per_s",
-            "value": round(tok_s, 1),
-            "unit": "tokens/s",
-            "vs_baseline": round(tok_s / 40.0, 2),
-        }))
+    # weight-only int8 Dia (fastest serving config): part of the default
+    # record, printed LAST so a driver timeout cannot displace other lines;
+    # a transient tunnel/chip error must not fail the nine lines above
+    if "--int8" in sys.argv or full:
+        try:
+            tok_s = bench_dia_int8()
+        except Exception as exc:  # transient FAILED_PRECONDITION observed
+            print(f"int8 bench skipped: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            if not full:
+                raise
+        else:
+            print(json.dumps({
+                "metric": "dia_1.6b_int8_decode_tokens_per_s",
+                "value": round(tok_s, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(tok_s / 40.0, 2),
+            }))
 
 
 if __name__ == "__main__":
