@@ -22,6 +22,12 @@ from neuralcodecs_tpu.core.files import file_sha256, safe_child_path
 _META_FILE = "cache_meta.json"
 DEFAULT_TTL_SECONDS = 30 * 24 * 3600
 
+# Files whose SHA-256 has been fully verified during THIS process. The
+# mtime fast path below never applies to the first load in a process, so
+# mtime-preserving tampering (os.utime, copy2-style replaces) and silent
+# bit-rot are caught at least once per process (ADVICE r2, medium).
+_verified_this_process: set[tuple[str, str]] = set()
+
 
 def default_cache_root() -> Path:
     env = os.environ.get("NEURALCODECS_CACHE")
@@ -95,16 +101,23 @@ class ModelCache:
             # Integrity check (ADVICE r1): a tampered same-size file must not
             # pass validation — cache_meta.json stores a SHA-256 per file.
             # Hashing a multi-hundred-MB checkpoint on EVERY load is too
-            # slow for the hot path, so the hash is verified only when the
-            # file's mtime differs from the recorded hash-time mtime (any
-            # tamper path that rewrites content bumps mtime; matching
-            # size+mtime means the bytes we hashed at download time).
-            if f.sha256 and st.st_mtime != f.mtime:
+            # slow for the hot path, so after one full verification in this
+            # process, repeat loads skip re-hashing while size+mtime match
+            # the values recorded at hash time. mtime alone is NOT trusted
+            # across processes: the first load of a file in any process
+            # always pays the full hash (ADVICE r2, medium).
+            key = (str(p.resolve()), f.sha256)
+            if f.sha256 and (
+                key not in _verified_this_process or st.st_mtime != f.mtime
+            ):
                 if file_sha256(p) != f.sha256:
                     self.invalidate(model_id, revision)
+                    _verified_this_process.discard(key)
                     return None
-                f.mtime = st.st_mtime
-                meta_dirty = True
+                _verified_this_process.add(key)
+                if st.st_mtime != f.mtime:
+                    f.mtime = st.st_mtime
+                    meta_dirty = True
         if meta_dirty:
             meta_path.write_text(meta.to_json())
         return d

@@ -117,18 +117,30 @@ def _validate_weights(files: dict[str, Path]) -> None:
 
 
 def pick_model_file(names: list[str]) -> str | None:
-    """Choose the weights file from a repo listing: a sharded-checkpoint
-    index first (the model is too big for one file), then safetensors,
-    then the other formats."""
+    """Choose the weights file from a repo listing.
+
+    Safety-first ordering (ADVICE r2, low): a ``.safetensors.index.json``
+    beats everything; a complete single ``.safetensors`` file beats a
+    pickle-based ``.bin``/``.pt`` shard index (never download pickles when
+    a safe-format alternative exists); pickle shard indices beat loose
+    pickle files only because the sharded checkpoint is the complete one.
+    """
+    def _best(pool: list[str]) -> str:
+        return sorted(pool, key=lambda n: (n.count("/"), len(n)))[0]
+
     indices = [n for n in names if is_shard_index(n)]
-    if indices:
-        return sorted(indices, key=lambda n: (not n.endswith(
-            ".safetensors.index.json"), n.count("/"), len(n)))[0]
+    st_indices = [n for n in indices if n.endswith(".safetensors.index.json")]
+    if st_indices:
+        return _best(st_indices)
     by_ext: dict[str, list[str]] = {}
     for n in names:
         for ext in _WEIGHT_EXTS:
             if n.lower().endswith(ext):
                 by_ext.setdefault(ext, []).append(n)
+    if by_ext.get(".safetensors"):
+        return _best(by_ext[".safetensors"])
+    if indices:
+        return _best(indices)
     for ext in _WEIGHT_EXTS:
         if by_ext.get(ext):
             # prefer top-level, shortest path

@@ -181,7 +181,7 @@ def fused_residual_unit(x: jax.Array, alpha1: jax.Array, w_dilated: jax.Array,
         kernel,
         grid=(b, t // t_tile),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # halo'd input, DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # halo'd input, DMA'd manually
             pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(wd_hi.shape, lambda i, j: (0,) * wd_hi.ndim,
                          memory_space=pltpu.VMEM),

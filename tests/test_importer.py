@@ -200,6 +200,19 @@ def test_pick_model_file_prefers_shard_index():
              "model.safetensors.index.json", "config.json"]
     assert pick_model_file(names) == "model.safetensors.index.json"
     assert pick_model_file(["a.safetensors"]) == "a.safetensors"
+    # Safety ordering (ADVICE r2): a complete single safetensors file beats
+    # a pickle-based shard index; a safetensors index beats both.
+    assert pick_model_file(
+        ["model.safetensors", "pytorch_model.bin.index.json",
+         "pytorch_model-00001-of-00002.bin"]) == "model.safetensors"
+    assert pick_model_file(
+        ["model.safetensors", "model.safetensors.index.json",
+         "pytorch_model.bin.index.json"]) == "model.safetensors.index.json"
+    # With no safe-format alternative, the pickle shard index still wins
+    # over a loose pickle (the sharded checkpoint is the complete one).
+    assert pick_model_file(
+        ["pytorch_model.bin.index.json", "other.bin"]
+    ) == "pytorch_model.bin.index.json"
 
 
 def test_sharded_find_config_skips_index(tmp_path):

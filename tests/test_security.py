@@ -2,6 +2,7 @@
 traversal rejection, cache integrity verification."""
 
 import io
+import os
 import pickle
 import pickletools
 import zipfile
@@ -87,3 +88,41 @@ def test_cache_detects_same_size_tampering(tmp_path):
     # tamper: same size, different bytes
     (d / "w.bin").write_bytes(b"B" * 16)
     assert cache.get_cached_path("owner/repo", "main") is None
+
+
+def test_cache_detects_mtime_preserving_tampering(tmp_path):
+    """A tamper that restores size AND mtime must still fail on first load
+    in a fresh process (ADVICE r2 medium): the mtime fast path only kicks
+    in after one full in-process SHA-256 verification."""
+    import neuralcodecs_tpu.core.cache as cache_mod
+
+    cache = ModelCache(tmp_path / "cache")
+    src = tmp_path / "w.bin"
+    src.write_bytes(b"A" * 16)
+    d = cache.cache_model("owner/repo", "main", {"w.bin": src})
+    st = (d / "w.bin").stat()
+    (d / "w.bin").write_bytes(b"B" * 16)
+    os.utime(d / "w.bin", (st.st_atime, st.st_mtime))  # same size + mtime
+    # simulate a fresh process: clear the in-process verified set
+    cache_mod._verified_this_process.clear()
+    assert cache.get_cached_path("owner/repo", "main") is None
+
+
+def test_cache_mtime_fast_path_after_verification(tmp_path):
+    """After one in-process verification, repeat loads skip re-hashing."""
+    import neuralcodecs_tpu.core.cache as cache_mod
+
+    cache = ModelCache(tmp_path / "cache")
+    src = tmp_path / "w.bin"
+    src.write_bytes(b"A" * 16)
+    d = cache.cache_model("owner/repo", "main", {"w.bin": src})
+    cache_mod._verified_this_process.clear()
+    assert cache.get_cached_path("owner/repo", "main") == d  # pays the hash
+    calls = []
+    orig = cache_mod.file_sha256
+    cache_mod.file_sha256 = lambda p: calls.append(p) or orig(p)
+    try:
+        assert cache.get_cached_path("owner/repo", "main") == d
+        assert calls == []  # fast path: no re-hash within the process
+    finally:
+        cache_mod.file_sha256 = orig
