@@ -6,7 +6,12 @@ payloads. Required metadata keys: m (model name), al (audio length),
 nc (num codebooks), lm (language-model flag).
 
 Byte-compatibility scope: the header and the no-LM bit-packed payloads, plus
-single-segment (24 kHz) LM streams, match the reference format byte for byte.
+single-segment (24 kHz) LM streams, are written to the reference format
+specification (BinaryIO.cs) and frozen against byte-exact goldens
+(tests/goldens) — but no stream produced by the reference implementation or
+the original python encodec has been decoded here (the build environment has
+no network), so cross-implementation interop is an UNVERIFIED design goal,
+not a tested claim; what IS tested is self-round-trip plus format freeze.
 Segmented (48 kHz) LM streams additionally length-prefix each frame payload
 (4-byte big-endian) because back-to-back range-coder payloads are not
 self-delimiting; such streams carry the metadata marker ``lp: true`` and are
