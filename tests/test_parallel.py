@@ -130,3 +130,68 @@ def test_time_sharded_encode_windowed_attention(rng):
         assert got.shape == ref.shape, (stage, got.shape, ref.shape)
         match = (ref == got).mean()
         assert match > 0.99, f"stage {stage}: only {match:.4f} codes match"
+
+
+def test_ema_codebook_dp_psum_matches_single_device(rng):
+    """The dp-sharded EMA codebook update (psum-ed batch statistics,
+    quantize.py ema_update dp_axis) must equal the single-device update on
+    the same global batch — the distributed sync the reference leaves as a
+    TODO (EuclideanCodebook.cs:292)."""
+    from jax.sharding import PartitionSpec as P
+
+    from neuralcodecs_tpu.models.encodec.quantize import EuclideanCodebook
+
+    cb = EuclideanCodebook("vq", dim=8, codebook_size=16)
+    params = {}
+    cb.init(jax.random.key(0), params)
+    state = cb.state_from_params(params)
+    flat_x = jnp.asarray(rng.standard_normal((8 * 24, 8)), jnp.float32)
+    codes = cb.quantize(params, flat_x)
+
+    ref = cb.ema_update(state, flat_x, codes)
+
+    mesh = make_mesh(dp=8)
+    sharded = jax.jit(jax.shard_map(
+        lambda s, x, c: cb.ema_update(s, x, c, dp_axis="dp"),
+        mesh=mesh, in_specs=(P(), P("dp"), P("dp")), out_specs=P()))
+    got = sharded(state, flat_x, codes)
+    np.testing.assert_allclose(np.asarray(got.embed), np.asarray(ref.embed),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.cluster_size),
+                               np.asarray(ref.cluster_size),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.embed_avg),
+                               np.asarray(ref.embed_avg),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_train_state_checkpoint_restore(rng, tmp_path):
+    """Save a dp x tp TrainState and restore it with shardings preserved
+    (restore straight onto mesh devices), then resume a step."""
+    pytest.importorskip("orbax.checkpoint")
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+    from neuralcodecs_tpu.parallel.checkpoint import (restore_train_state,
+                                                      save_train_state)
+    from neuralcodecs_tpu.parallel.train import make_train_step
+
+    mesh = make_mesh(dp=4, tp=2)
+    cfg = DACConfig(sample_rate=16000, encoder_dim=16, encoder_rates=[2, 4],
+                    decoder_dim=256, decoder_rates=[4, 2], n_codebooks=2,
+                    codebook_size=32, codebook_dim=4)
+    model = DAC(cfg)
+    init_fn, step_fn = make_train_step(model, mesh, sample_rate=16000)
+    state = init_fn(model.params)
+    audio = jnp.asarray(0.1 * rng.standard_normal((8, cfg.hop_length * 64, 1)),
+                        jnp.float32)
+    state, _ = step_fn(state, audio)
+
+    save_train_state(state, tmp_path / "ckpt")
+    restored = restore_train_state(tmp_path / "ckpt", template=state)
+    assert int(restored.step) == int(state.step)
+    for key in ("decoder.model.0.weight", "encoder.block.0.weight"):
+        np.testing.assert_array_equal(np.asarray(restored.params[key]),
+                                      np.asarray(state.params[key]))
+        assert restored.params[key].sharding == state.params[key].sharding
+    # the restored state is steppable on the same mesh
+    _, loss = step_fn(restored, audio)
+    assert np.isfinite(float(loss))
