@@ -148,14 +148,6 @@ def make_ecdc_golden() -> None:
     print(f"ecdc_golden: raw {len(blob_raw)} B, lm {len(blob_lm)} B")
 
 
-if __name__ == "__main__":
-    GOLDEN_DIR.mkdir(exist_ok=True)
-    make_snac_golden()
-    make_dac_golden()
-    make_ecdc_golden()
-    make_dia_golden()
-    for p in sorted(GOLDEN_DIR.glob("*.npz")):
-        print(f"{p.name}: {p.stat().st_size / 1e6:.2f} MB")
 
 
 def dia_golden_model():
@@ -178,3 +170,67 @@ def make_dia_golden() -> None:
     np.savez_compressed(GOLDEN_DIR / "dia_golden.npz", **payload)
     print(f"dia_golden: codes {tuple(np.asarray(codes).shape)}, "
           f"lengths {np.asarray(lengths).tolist()}")
+
+
+# ---------------------------------------------------------------- full-size
+
+FULLSIZE_SECONDS = 0.5
+
+
+def fullsize_input(sample_rate: int) -> np.ndarray:
+    """Deterministic 0.5 s test signal: two tones + seeded noise floor.
+    Regenerated identically by the test — not stored in the fixture."""
+    n = int(sample_rate * FULLSIZE_SECONDS)
+    t = np.arange(n) / sample_rate
+    rng = np.random.default_rng(SEED)
+    x = (0.4 * np.sin(2 * np.pi * 220.0 * t)
+         + 0.2 * np.sin(2 * np.pi * 3001.0 * t)
+         + 0.02 * rng.standard_normal(n))
+    return x.astype(np.float32)
+
+
+def make_fullsize_golden() -> None:
+    """Freeze FULL-dimension SNAC-24k and DAC-44k forwards from seeded
+    random weights (VERDICT r2 #7): the dim-reduced goldens above pin
+    structure, but f32 accumulation behavior at the real 1024+-wide layers
+    is only pinned by running the real widths. No weights are stored —
+    models are rebuilt in-test from the same seed; the fixture freezes only
+    the RVQ code indices and a 64x-decimated copy of the decoded audio.
+
+    Regenerate ONLY under the test environment (JAX_PLATFORMS=cpu with
+    ``--xla_force_host_platform_device_count=8``, as conftest.py sets): the
+    virtual device count changes XLA's CPU partitioning and therefore f32
+    summation order, which can flip near-tie argmins in the deeper RVQ
+    stages (observed: 2/396 DAC codes differ 1-device vs 8-device)."""
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+
+    payload: dict[str, np.ndarray] = {}
+
+    snac = SNAC(SNACConfig.snac_24khz(), seed=SEED % (2**31))
+    audio = fullsize_input(snac.config.sample_rate)
+    audio_hat, codes = snac.forward(audio)
+    for i, c in enumerate(codes):
+        payload[f"snac/codes/{i}"] = np.asarray(c).astype(np.int32)
+    payload["snac/decoded_dec64"] = np.asarray(audio_hat)[0, ::64].astype(np.float32)
+
+    dac = DAC(DACConfig.dac_44khz(), seed=SEED % (2**31))
+    audio = fullsize_input(dac.config.sample_rate)
+    out = dac.forward(audio)
+    payload["dac/codes"] = np.asarray(out["codes"]).astype(np.int32)
+    payload["dac/decoded_dec64"] = np.asarray(out["audio"])[0, ::64].astype(np.float32)
+
+    np.savez_compressed(GOLDEN_DIR / "fullsize_golden.npz", **payload)
+    print("fullsize_golden:",
+          {k: tuple(v.shape) for k, v in payload.items()})
+
+
+if __name__ == "__main__":
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    make_snac_golden()
+    make_dac_golden()
+    make_ecdc_golden()
+    make_dia_golden()
+    make_fullsize_golden()
+    for p in sorted(GOLDEN_DIR.glob("*.npz")):
+        print(f"{p.name}: {p.stat().st_size / 1e6:.2f} MB")

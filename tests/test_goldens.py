@@ -132,3 +132,33 @@ def test_dia_golden_generation_frozen():
                                   g["codes"])
     np.testing.assert_array_equal(np.asarray(lengths).astype(np.int32),
                                   g["lengths"])
+
+
+def test_fullsize_golden_codes_and_audio():
+    """Full-dimension SNAC-24k + DAC-44k forwards from seeded weights
+    (VERDICT r2 #7): pins f32 accumulation at the real 1024+-wide layers.
+    Weights are rebuilt in-test from the frozen seed (nothing large stored);
+    the fixture freezes RVQ code indices exactly and the decoded audio at a
+    64x decimation to float tolerance."""
+    from make_goldens import SEED, fullsize_input
+
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+    from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
+
+    g = _load("fullsize_golden.npz")
+
+    snac = SNAC(SNACConfig.snac_24khz(), seed=SEED % (2**31))
+    audio_hat, codes = snac.forward(fullsize_input(snac.config.sample_rate))
+    for i, c in enumerate(codes):
+        np.testing.assert_array_equal(
+            np.asarray(c), g[f"snac/codes/{i}"],
+            err_msg=f"full-size SNAC stage {i} codes drifted")
+    np.testing.assert_allclose(np.asarray(audio_hat)[0, ::64],
+                               g["snac/decoded_dec64"], rtol=1e-3, atol=1e-4)
+
+    dac = DAC(DACConfig.dac_44khz(), seed=SEED % (2**31))
+    out = dac.forward(fullsize_input(dac.config.sample_rate))
+    np.testing.assert_array_equal(np.asarray(out["codes"]), g["dac/codes"],
+                                  err_msg="full-size DAC codes drifted")
+    np.testing.assert_allclose(np.asarray(out["audio"])[0, ::64],
+                               g["dac/decoded_dec64"], rtol=1e-3, atol=1e-4)
