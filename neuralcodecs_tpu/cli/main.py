@@ -243,7 +243,9 @@ def cmd_serve(args) -> int:
                               dac_model=args.dac_model)
     else:
         model = _load_codec(args.codec, args.model, args.preset)
-    server = CodecServer(model, args.codec, host=args.host, port=args.port)
+    server = CodecServer(model, args.codec, host=args.host, port=args.port,
+                         batch_window_ms=args.batch_window_ms,
+                         max_batch=args.max_batch)
     print(f"warming up {args.codec} ...", file=sys.stderr)
     server.warmup()
     print(f"serving {args.codec} on http://{args.host}:{server.port} "
@@ -340,6 +342,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--int8", action="store_true",
                     help="Dia weight-only int8 (fastest serving config)")
     sv.add_argument("--dac-model", help="DAC vocoder weights for Dia")
+    sv.add_argument("--batch-window-ms", type=float, default=4.0,
+                    help="micro-batching window for concurrent /roundtrip "
+                         "requests (0 disables batching)")
+    sv.add_argument("--max-batch", type=int, default=16,
+                    help="micro-batching cap per device call")
     sv.set_defaults(fn=cmd_serve, operation="initialization")
 
     it = sub.add_parser("interactive", help="interactive menu (Examples-app style)")

@@ -26,8 +26,11 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
+import time
 import wave
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -71,15 +74,111 @@ def _array_to_wav(audio: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
+class _MicroBatcher:
+    """Coalesce concurrent ``/roundtrip`` requests into one batched device
+    call, so the served aggregate throughput matches the benched aggregate
+    (the per-stream device call is partially latency-bound; the chunked-batch
+    forward amortizes dispatch and the latency-bound stages across B streams
+    exactly as ``bench.py --aggregate`` measures).
+
+    A worker thread drains the queue: the first request opens a ``window_s``
+    collection window (bounded at ``max_batch``); requests sharing the same
+    prepared length are stacked into one ``model.forward`` batch. Distinct
+    lengths run as separate groups — equal-length stacking keeps per-stream
+    semantics bit-identical to serial execution (no cross-stream padding, so
+    Encodec's per-frame normalization scales are untouched). The batch axis
+    is padded to the next power of two (dropped on output) to bound the
+    number of distinct compiled shapes.
+    """
+
+    def __init__(self, server: "CodecServer", window_s: float = 0.004,
+                 max_batch: int = 16):
+        self.server = server
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.observed_batches: list[int] = []  # group sizes, for tests/metrics
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, audio: np.ndarray, sr: int) -> Future:
+        fut: Future = Future()
+        self._q.put((audio, sr, fut))
+        return fut
+
+    def stop(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(batch)
+                    return
+                batch.append(nxt)
+            self._flush(batch)
+
+    def _flush(self, batch: list) -> None:
+        groups: dict[tuple, list] = {}
+        for audio, sr, fut in batch:
+            try:
+                x = np.asarray(self.server._prepare_audio(audio, sr))
+            except Exception as exc:  # fail only this request
+                fut.set_exception(exc)
+                continue
+            groups.setdefault(x.shape, []).append((x, fut))
+        for items in groups.values():
+            self._run_group(items)
+
+    def _run_group(self, items: list) -> None:
+        server, model = self.server, self.server.model
+        self.observed_batches.append(len(items))
+        try:
+            xs = [x for x, _ in items]
+            b = len(xs)
+            target_b = 1 << (b - 1).bit_length()
+            stacked = np.stack(xs + [xs[-1]] * (target_b - b))
+            with server._device_lock:
+                if server.codec_name == "dac":
+                    out = np.asarray(model.forward(stacked)["audio"])
+                elif server.codec_name == "encodec":
+                    out = np.asarray(model.forward(stacked))
+                else:  # snac
+                    out = np.asarray(model.forward(stacked)[0])
+            for i, (_, fut) in enumerate(items):
+                fut.set_result(out[i])
+        except Exception as exc:
+            for _, fut in items:
+                if not fut.done():
+                    fut.set_exception(exc)
+
+
 class CodecServer:
     """Wraps one codec model behind an HTTP server; device calls serialize
-    behind ``_device_lock``."""
+    behind ``_device_lock``, and concurrent ``/roundtrip`` requests are
+    micro-batched into single device calls (``batch_window_ms > 0``)."""
 
     def __init__(self, model, codec_name: str, host: str = "127.0.0.1",
-                 port: int = 8799):
+                 port: int = 8799, batch_window_ms: float = 4.0,
+                 max_batch: int = 16):
         self.model = model
         self.codec_name = codec_name
         self._device_lock = threading.Lock()
+        self.batcher = (_MicroBatcher(self, batch_window_ms / 1000.0, max_batch)
+                        if batch_window_ms > 0 and codec_name != "dia" else None)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -115,8 +214,12 @@ class CodecServer:
                     body = self.rfile.read(length)
                     if self.path == "/roundtrip":
                         audio, sr = _wav_to_array(body)
-                        with server._device_lock:
-                            out = server.roundtrip(audio, sr)
+                        if server.batcher is not None:
+                            out = server.batcher.submit(audio, sr).result(
+                                timeout=600)
+                        else:
+                            with server._device_lock:
+                                out = server.roundtrip(audio, sr)
                         self._reply(200, _array_to_wav(
                             out, server.model.config.sample_rate),
                             "audio/wav")
@@ -138,14 +241,40 @@ class CodecServer:
                             out, server.model.config.sample_rate), "audio/wav")
                     elif self.path == "/tts" and server.codec_name == "dia":
                         payload = json.loads(body)
-                        text = payload["text"]
                         max_tokens = payload.get("max_tokens")
-                        with server._device_lock:
-                            audios = server.model.generate(
-                                [text], max_tokens=max_tokens)
-                        self._reply(200, _array_to_wav(
-                            np.asarray(audios[0]),
-                            server.model.config.sample_rate), "audio/wav")
+                        if "texts" in payload:
+                            # batched TTS: the decode loop streams the full
+                            # parameter set once per STEP regardless of B
+                            # (weight-bandwidth bound), so one batch-B
+                            # generation call costs barely more than B=1
+                            texts = list(payload["texts"])
+                            if not texts or not all(
+                                    isinstance(t, str) for t in texts):
+                                raise ValueError(
+                                    "'texts' must be a non-empty list of "
+                                    "strings")
+                            with server._device_lock:
+                                audios = server.model.generate(
+                                    texts, max_tokens=max_tokens)
+                            import base64
+
+                            sr = server.model.config.sample_rate
+                            self._reply_json(200, {
+                                "sample_rate": sr,
+                                "wavs_b64": [
+                                    base64.b64encode(
+                                        _array_to_wav(np.asarray(a), sr)
+                                    ).decode("ascii")
+                                    for a in audios],
+                            })
+                        else:
+                            text = payload["text"]
+                            with server._device_lock:
+                                audios = server.model.generate(
+                                    [text], max_tokens=max_tokens)
+                            self._reply(200, _array_to_wav(
+                                np.asarray(audios[0]),
+                                server.model.config.sample_rate), "audio/wav")
                     else:
                         self._reply_json(404, {"error": "unknown route"})
                 except (ValueError, KeyError, json.JSONDecodeError,
@@ -239,3 +368,5 @@ class CodecServer:
     def shutdown(self) -> None:
         self.httpd.shutdown()
         self.httpd.server_close()
+        if self.batcher is not None:
+            self.batcher.stop()

@@ -183,10 +183,11 @@ def test_serve_encodec_stereo_normalized():
 def test_serve_concurrent_requests_are_consistent():
     """8 concurrent identical /roundtrip requests must all succeed and
     return identical bytes (device lock serializes accelerator work under
-    the threaded server)."""
+    the threaded server; batching disabled so every request takes the exact
+    same compiled path)."""
     import concurrent.futures
 
-    server = CodecServer(_tiny_snac(), "snac", port=0)
+    server = CodecServer(_tiny_snac(), "snac", port=0, batch_window_ms=0)
     server.warmup()
     server.start_background()
     try:
@@ -206,5 +207,120 @@ def test_serve_concurrent_requests_are_consistent():
         assert all(st == 200 for st, _ in results)
         first = results[0][1]
         assert all(data == first for _, data in results)
+    finally:
+        server.shutdown()
+
+
+def _fire_concurrent(port, n, body):
+    """n concurrent /roundtrip requests; returns (wall_s, [(status, bytes)])."""
+    import concurrent.futures
+    import time
+
+    def one(_):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/roundtrip", body=body)
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
+        return resp.status, data
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=n) as pool:
+        start = time.perf_counter()
+        results = list(pool.map(one, range(n)))
+        wall = time.perf_counter() - start
+    return wall, results
+
+
+def test_serve_microbatch_coalesces_and_matches_serialized():
+    """Concurrent /roundtrip requests must be coalesced into batched device
+    calls (observed batch sizes > 1) and produce audio matching the
+    serialized (batching-off) server to float tolerance."""
+    body = _wav_bytes()
+    batched = CodecServer(_tiny_snac(), "snac", port=0,
+                          batch_window_ms=100.0, max_batch=8)
+    serial = CodecServer(_tiny_snac(), "snac", port=0, batch_window_ms=0)
+    batched.warmup(), serial.warmup()
+    batched.start_background(), serial.start_background()
+    try:
+        _, got = _fire_concurrent(batched.port, 8, body)
+        _, ref = _fire_concurrent(serial.port, 1, body)
+        assert all(st == 200 for st, _ in got)
+        assert max(batched.batcher.observed_batches) >= 2, \
+            batched.batcher.observed_batches
+        ref_audio, _ = _wav_to_array(ref[0][1])
+        for _, data in got:
+            audio, _ = _wav_to_array(data)
+            np.testing.assert_allclose(audio, ref_audio, atol=2e-3)
+    finally:
+        batched.shutdown()
+        serial.shutdown()
+
+
+def test_serve_microbatch_throughput_beats_serialized():
+    """Aggregate served throughput with micro-batching must beat the
+    serialized server on the same concurrent load. On this 1-CPU-core test
+    host the device call itself is compute-bound (a B=8 batch costs ~8x a
+    B=1 call), so batching can only reclaim per-request dispatch overhead —
+    measured ~1.3-1.8x; the assertion uses a conservative 1.15x. On the TPU
+    chip the per-stream call is latency-bound and the same path measures
+    >=2x (PERF.md 'Served aggregate')."""
+    body = _wav_bytes(seconds=0.064)
+    batched = CodecServer(_tiny_snac(), "snac", port=0,
+                          batch_window_ms=200.0, max_batch=8)
+    serial = CodecServer(_tiny_snac(), "snac", port=0, batch_window_ms=0)
+    batched.warmup(), serial.warmup()
+    batched.start_background(), serial.start_background()
+    try:
+        _fire_concurrent(batched.port, 8, body)  # warm batched shapes
+        _fire_concurrent(serial.port, 8, body)
+        wall_b = min(_fire_concurrent(batched.port, 8, body)[0]
+                     for _ in range(5))
+        wall_s = min(_fire_concurrent(serial.port, 8, body)[0]
+                     for _ in range(5))
+        assert wall_b < wall_s / 1.15, (
+            f"batched {wall_b*1e3:.1f} ms not faster than "
+            f"serialized {wall_s*1e3:.1f} ms / 1.15")
+    finally:
+        batched.shutdown()
+        serial.shutdown()
+
+
+def test_serve_tts_batched_route():
+    """POST /tts with a 'texts' list returns one base64 WAV per text from a
+    single batched generation call."""
+    import base64
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_dia import tiny_config
+
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+    from neuralcodecs_tpu.models.dia import Dia
+
+    dia = Dia(tiny_config(), seed=0)
+    dac_cfg = DACConfig(encoder_dim=8, encoder_rates=[2, 2], decoder_dim=32,
+                        decoder_rates=[2, 2], n_codebooks=3, codebook_size=1024,
+                        codebook_dim=4, sample_rate=44100)
+    dia.set_dac_model(DAC(dac_cfg))
+
+    server = CodecServer(dia, "dia", port=0)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=300)
+        conn.request("POST", "/tts", body=json.dumps(
+            {"texts": ["[S1]hi", "[S2]hello there"], "max_tokens": 16}).encode())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        payload = json.loads(resp.read())
+        assert len(payload["wavs_b64"]) == 2
+        for b64 in payload["wavs_b64"]:
+            with wave.open(io.BytesIO(base64.b64decode(b64)), "rb") as f:
+                assert f.getnframes() > 0
+                assert f.getframerate() == dia.config.sample_rate
+
+        # malformed 'texts' -> 400
+        conn.request("POST", "/tts", body=json.dumps({"texts": []}).encode())
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
     finally:
         server.shutdown()
