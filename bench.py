@@ -19,6 +19,7 @@ single tunnel round-trip is amortized over all iterations.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -360,6 +361,28 @@ def main() -> None:
     bf16 compile is slow (~400 s over the axon tunnel).
     """
     import sys
+
+    # metrics must appear as soon as they are measured (the driver and
+    # background runs read partial output; a buffered final flush loses
+    # everything on timeout)
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+        sys.stderr.reconfigure(line_buffering=True)
+    except Exception:
+        pass
+
+    # persistent compilation cache: the big Dia decode-loop traces take
+    # minutes to compile over the tunnel; repeated bench runs on the same
+    # host (and the same-shape traces within one run) hit the cache instead
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("NC_JAX_CACHE_DIR",
+                                         "/tmp/nc_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     filter_flags = {"--snac", "--dac", "--enc24", "--enc48", "--dsp",
                     "--dia", "--aggregate", "--all"}
