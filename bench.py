@@ -130,19 +130,32 @@ def _emit(metric: str, stats: dict | float) -> None:
     }
     # Ceiling-utilization accounting (VERDICT r2 #2): what fraction of this
     # allocation's measured roofline the config achieves, and which resource
-    # binds it. pct is the max of the MXU and stream fractions — the config
-    # is "at ceiling" when the binding resource is saturated.
+    # binds it. Two distinct reference points (PERF.md "Ceiling-utilization
+    # accounting" for semantics):
+    #   - mxu_pct: achieved FLOP rate vs a fat-dot MXU ceiling (FLOPs are
+    #     physical; never exceeds 100 in practice).
+    #   - stream_x: XLA cost-analysis bytes/wall vs a pure elementwise
+    #     streaming ceiling. Cost-analysis bytes count LOGICAL operands,
+    #     including ones fusion never materializes, so stream_x > 1.0 means
+    #     the config processes logical bytes faster than ANY unfused stream
+    #     could — i.e. fusion is working and the wall sits at the
+    #     allocation's memory-op element-rate floor, not at missing fusion.
+    # The headline pct is capped at 100: "at ceiling" when either resource
+    # is saturated.
     if stats.get("tflops") is not None:
         ceil = _measure_ceilings()
         mxu_pct = (100.0 * stats["tflops"] / ceil["mxu_tflops"]
                    if ceil["mxu_tflops"] else 0.0)
-        stream_pct = (100.0 * stats["gbps"] / ceil["stream_gbps"]
-                      if ceil["stream_gbps"] else 0.0)
+        stream_x = (stats["gbps"] / ceil["stream_gbps"]
+                    if ceil["stream_gbps"] else 0.0)
         rec.update(
             achieved_tflops=round(stats["tflops"], 2),
-            achieved_gbps=round(stats["gbps"], 1),
-            pct_of_allocation_ceiling=round(max(mxu_pct, stream_pct), 1),
-            bound="mxu" if mxu_pct >= stream_pct else "stream",
+            logical_gbps=round(stats["gbps"], 1),
+            mxu_pct=round(mxu_pct, 1),
+            stream_x=round(stream_x, 2),
+            pct_of_allocation_ceiling=round(
+                min(100.0, max(mxu_pct, 100.0 * stream_x)), 1),
+            bound="mxu" if mxu_pct >= 100.0 * stream_x else "stream",
         )
     print(json.dumps(rec))
 

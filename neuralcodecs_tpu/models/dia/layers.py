@@ -98,7 +98,12 @@ class DenseGeneral:
         q8 = params.get(f"{self.prefix}.weight_q8")
         if q8 is not None:
             # weight-only int8: HBM streams 1 byte/param; dequant fuses into
-            # the VMEM-side matmul read (decode is parameter-bandwidth bound)
+            # the VMEM-side matmul read (decode is parameter-bandwidth bound).
+            # Applying the per-output scale to the dot RESULT instead (it
+            # commutes with the contraction) was measured slightly SLOWER on
+            # chip (B1 249 vs 268 tok/s, B8 829 vs 845 aggregate): XLA
+            # already fuses convert+scale into the operand read, so the
+            # output-side multiply only adds a non-fused epilogue (PERF.md).
             scale = params[f"{self.prefix}.weight_scale"]
             w = q8.astype(x.dtype) * scale.astype(x.dtype)
         else:
