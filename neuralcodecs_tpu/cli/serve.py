@@ -24,6 +24,7 @@ Design notes (TPU serving):
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import queue
@@ -85,10 +86,13 @@ class _MicroBatcher:
     collection window (bounded at ``max_batch``); requests sharing the same
     prepared length are stacked into one ``model.forward`` batch. Distinct
     lengths run as separate groups — equal-length stacking keeps per-stream
-    semantics bit-identical to serial execution (no cross-stream padding, so
-    Encodec's per-frame normalization scales are untouched). The batch axis
-    is padded to the next power of two (dropped on output) to bound the
-    number of distinct compiled shapes.
+    semantics identical to serial execution (no cross-stream padding, so
+    Encodec's per-frame normalization scales are untouched), bit-identical
+    for deterministic models. Caveat: SNAC configs with ``noise=True`` draw
+    the decoder dither from one key over the whole batch, so a stream's
+    noise realization (not its signal content) depends on its batch slot.
+    The batch axis is padded to the next power of two (dropped on output)
+    to bound the number of distinct compiled shapes.
     """
 
     def __init__(self, server: "CodecServer", window_s: float = 0.004,
@@ -96,19 +100,37 @@ class _MicroBatcher:
         self.server = server
         self.window_s = window_s
         self.max_batch = max_batch
-        self.observed_batches: list[int] = []  # group sizes, for tests/metrics
+        # group sizes for tests/metrics; bounded so a long-lived server
+        # does not leak (ADVICE r3)
+        self.observed_batches: "collections.deque[int]" = collections.deque(
+            maxlen=256)
+        self._stopped = False
         self._q: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, audio: np.ndarray, sr: int) -> Future:
+        if self._stopped:
+            raise RuntimeError("server is shutting down")
         fut: Future = Future()
         self._q.put((audio, sr, fut))
         return fut
 
     def stop(self) -> None:
+        # flag BEFORE the sentinel: a submit() racing shutdown either raises
+        # immediately or lands ahead of the sentinel and is still served;
+        # anything slipping in after the sentinel is drained and failed below
+        # rather than hanging its Future until the handler timeout
+        self._stopped = True
         self._q.put(None)
         self._thread.join(timeout=10)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item[2].set_exception(RuntimeError("server is shutting down"))
 
     def _run(self) -> None:
         while True:
@@ -247,6 +269,10 @@ class CodecServer:
                             # parameter set once per STEP regardless of B
                             # (weight-bandwidth bound), so one batch-B
                             # generation call costs barely more than B=1
+                            if not isinstance(payload["texts"], list):
+                                # a bare string would iterate into characters
+                                raise ValueError(
+                                    "'texts' must be a list of strings")
                             texts = list(payload["texts"])
                             if not texts or not all(
                                     isinstance(t, str) for t in texts):
@@ -343,19 +369,34 @@ class CodecServer:
 
     # -- lifecycle -------------------------------------------------------------
 
-    def warmup(self) -> None:
-        """Compile the hot paths before accepting traffic."""
+    def warmup(self, lengths_s: tuple[float, ...] = (1.0,)) -> None:
+        """Compile the hot paths before accepting traffic.
+
+        The serial B=1 path is always warmed. When micro-batching is on,
+        the ``max_batch`` stacked shape is warmed too (group sizes pad to
+        powers of two, so the full-batch shape is the one every saturated
+        burst hits; intermediate power-of-two sizes and unseen lengths
+        still compile lazily on first use — warming every combination
+        would multiply startup time by ``log2(max_batch) x len(lengths)``).
+        """
         if self.codec_name == "dia":
             with self._device_lock:
                 self.model.generate_codes(["[S1]warmup"], max_tokens=8)
             return
         sr = self.model.config.sample_rate
         want = getattr(self.model.config, "channels", 1)
-        tone = np.broadcast_to(
-            (0.1 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr))
-            .astype(np.float32), (want, sr))
-        with self._device_lock:
-            self.roundtrip(tone, sr)
+        for seconds in lengths_s:
+            n = int(sr * seconds)
+            tone = np.broadcast_to(
+                (0.1 * np.sin(2 * np.pi * 440 * np.arange(n) / sr))
+                .astype(np.float32), (want, n))
+            with self._device_lock:
+                self.roundtrip(tone, sr)
+            if self.batcher is not None:
+                x = self._prepare_audio(tone, sr)
+                stacked = np.stack([np.asarray(x)] * self.batcher.max_batch)
+                with self._device_lock:
+                    self.model.forward(stacked)
 
     def serve_forever(self) -> None:
         self.httpd.serve_forever()

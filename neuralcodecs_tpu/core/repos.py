@@ -132,8 +132,15 @@ def pick_model_file(names: list[str]) -> str | None:
     st_indices = [n for n in indices if n.endswith(".safetensors.index.json")]
     if st_indices:
         return _best(st_indices)
+    # a shard PIECE (model-00001-of-00002.safetensors) is not a complete
+    # checkpoint — it must never be picked as a standalone file (ADVICE r3:
+    # an index-less sharded safetensors upload would otherwise beat a
+    # complete pickle shard index with half the weights)
+    piece = re.compile(r"-\d+-of-\d+\.")
     by_ext: dict[str, list[str]] = {}
     for n in names:
+        if piece.search(n):
+            continue
         for ext in _WEIGHT_EXTS:
             if n.lower().endswith(ext):
                 by_ext.setdefault(ext, []).append(n)

@@ -213,6 +213,11 @@ def test_pick_model_file_prefers_shard_index():
     assert pick_model_file(
         ["pytorch_model.bin.index.json", "other.bin"]
     ) == "pytorch_model.bin.index.json"
+    # A safetensors shard PIECE without its index is not a complete
+    # checkpoint: the complete pickle shard index must win (ADVICE r3).
+    assert pick_model_file(
+        ["model-00001-of-00002.safetensors", "model-00002-of-00002.safetensors",
+         "pytorch_model.bin.index.json"]) == "pytorch_model.bin.index.json"
 
 
 def test_sharded_find_config_skips_index(tmp_path):

@@ -273,10 +273,15 @@ def test_serve_microbatch_throughput_beats_serialized():
     try:
         _fire_concurrent(batched.port, 8, body)  # warm batched shapes
         _fire_concurrent(serial.port, 8, body)
-        wall_b = min(_fire_concurrent(batched.port, 8, body)[0]
-                     for _ in range(5))
-        wall_s = min(_fire_concurrent(serial.port, 8, body)[0]
-                     for _ in range(5))
+        # wall-clock assertion on a shared CI host: re-measure once before
+        # failing so a transient load spike cannot flake the suite
+        for attempt in (0, 1):
+            wall_b = min(_fire_concurrent(batched.port, 8, body)[0]
+                         for _ in range(5))
+            wall_s = min(_fire_concurrent(serial.port, 8, body)[0]
+                         for _ in range(5))
+            if wall_b < wall_s / 1.15:
+                break
         assert wall_b < wall_s / 1.15, (
             f"batched {wall_b*1e3:.1f} ms not faster than "
             f"serialized {wall_s*1e3:.1f} ms / 1.15")
@@ -319,6 +324,13 @@ def test_serve_tts_batched_route():
 
         # malformed 'texts' -> 400
         conn.request("POST", "/tts", body=json.dumps({"texts": []}).encode())
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+
+        # a bare string must NOT be iterated into per-character requests
+        conn.request("POST", "/tts",
+                     body=json.dumps({"texts": "[S1]hi"}).encode())
         resp = conn.getresponse()
         assert resp.status == 400
         resp.read()
