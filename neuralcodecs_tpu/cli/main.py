@@ -246,14 +246,32 @@ def cmd_serve(args) -> int:
     server = CodecServer(model, args.codec, host=args.host, port=args.port,
                          batch_window_ms=args.batch_window_ms,
                          max_batch=args.max_batch)
+    stream_server = None
+    if getattr(args, "stream_port", None) is not None:
+        if args.codec != "encodec":
+            print("--stream-port requires --codec encodec (causal preset)",
+                  file=sys.stderr)
+            return 2
+        from neuralcodecs_tpu.cli.stream_serve import StreamingCodecServer
+
+        stream_server = StreamingCodecServer(model, host=args.host,
+                                             port=args.stream_port)
     print(f"warming up {args.codec} ...", file=sys.stderr)
     server.warmup()
+    if stream_server is not None:
+        stream_server.warmup()
+        stream_server.start_background()
+        print(f"streaming sessions on tcp://{args.host}:{stream_server.port} "
+              f"(see cli/stream_serve.py for the wire protocol)",
+              file=sys.stderr)
     print(f"serving {args.codec} on http://{args.host}:{server.port} "
           f"(POST /roundtrip /encode /decode, GET /healthz)", file=sys.stderr)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+        if stream_server is not None:
+            stream_server.shutdown()
     return 0
 
 
@@ -347,6 +365,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "requests (0 disables batching)")
     sv.add_argument("--max-batch", type=int, default=16,
                     help="micro-batching cap per device call")
+    sv.add_argument("--stream-port", type=int, default=None,
+                    help="also serve low-latency streaming sessions on this "
+                         "TCP port (encodec causal preset only; 0 = ephemeral)")
     sv.set_defaults(fn=cmd_serve, operation="initialization")
 
     it = sub.add_parser("interactive", help="interactive menu (Examples-app style)")

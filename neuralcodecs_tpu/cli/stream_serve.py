@@ -1,0 +1,181 @@
+"""Low-latency streaming serving for causal Encodec over TCP.
+
+The HTTP endpoint (`cli/serve.py`) covers request/response serving; live
+streams (telephony, live transcription front-ends) need chunk-in/chunk-out
+with carried state. The reference has no serving surface at all; this one
+wraps the streaming sessions of `models/encodec/streaming.py` (one jitted
+step per chunk, state carried on device) in a dependency-free TCP framing:
+
+wire protocol (all integers big-endian):
+    client -> server, once:   one JSON header line ending in ``\n``:
+        {"op": "roundtrip" | "encode", "chunk_samples": N}
+        N must be a multiple of the model hop (320 for the 24 kHz preset).
+    then repeated frames:     u32 length | payload
+        payload = float32 little-endian mono PCM samples, len % hop == 0
+        (the final chunk may be shorter than chunk_samples; zero-pad to the
+        hop grid client-side)
+    server -> client, per frame:  u32 length | payload
+        roundtrip: float32 PCM, exactly the decoded samples for the chunk
+        encode:    u32 n_q | u32 F | int32 codes [n_q, F] row-major
+    a zero-length client frame ends the stream; the server closes after
+    echoing a zero-length frame.
+    On a malformed header/frame the server sends u32 0xFFFFFFFF | JSON
+    error body and closes.
+
+Each connection owns its session state (conv tails + LSTM carry), so
+concurrent streams are isolated; device steps serialize behind one lock
+(single chip). Per-chunk device compute on the 24 kHz model is ~1.4 ms
+(PERF.md "Streaming sessions"), so one chip sustains many real-time
+streams; the bound in THIS build environment is the tunnel RTT, which a
+locally-attached chip does not pay.
+"""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import struct
+import threading
+
+import numpy as np
+
+MAX_FRAME_BYTES = 16 * 1024 * 1024
+ERR_MARK = 0xFFFFFFFF
+
+
+def _read_exact(rfile, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        piece = rfile.read(n - len(buf))
+        if not piece:
+            raise ConnectionError("client closed mid-frame")
+        buf += piece
+    return buf
+
+
+class StreamingCodecServer:
+    """TCP server exposing per-connection streaming Encodec sessions."""
+
+    def __init__(self, model, host: str = "127.0.0.1", port: int = 0):
+        from neuralcodecs_tpu.models.encodec.streaming import (
+            StreamingDecoder, StreamingEncoder, _check_streamable)
+
+        _check_streamable(model)
+        self.model = model
+        self.hop = model.encoder.hop_length
+        self._device_lock = threading.Lock()
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def _send(self, payload: bytes) -> None:
+                self.wfile.write(struct.pack(">I", len(payload)) + payload)
+                self.wfile.flush()
+
+            def _fail(self, msg: str) -> None:
+                body = json.dumps({"error": msg}).encode()
+                self.wfile.write(struct.pack(">I", ERR_MARK)
+                                 + struct.pack(">I", len(body)) + body)
+                self.wfile.flush()
+
+            def handle(self) -> None:
+                try:
+                    header = json.loads(self.rfile.readline(4096) or b"{}")
+                    op = header.get("op")
+                    chunk = int(header.get("chunk_samples", 0))
+                    if op not in ("roundtrip", "encode") or chunk <= 0 \
+                            or chunk % outer.hop:
+                        self._fail(f"bad header: op must be roundtrip|encode "
+                                   f"and chunk_samples a positive multiple "
+                                   f"of {outer.hop}")
+                        return
+                except (ValueError, json.JSONDecodeError):
+                    self._fail("malformed JSON header")
+                    return
+                enc = StreamingEncoder(outer.model)
+                dec = (StreamingDecoder(outer.model)
+                       if op == "roundtrip" else None)
+                while True:
+                    try:
+                        (n,) = struct.unpack(">I", _read_exact(self.rfile, 4))
+                    except ConnectionError:
+                        return  # client went away between frames
+                    if n == 0:
+                        self._send(b"")
+                        return
+                    if n > MAX_FRAME_BYTES or n % 4:
+                        self._fail("bad frame length")
+                        return
+                    pcm = np.frombuffer(_read_exact(self.rfile, n), "<f4")
+                    if pcm.size % outer.hop:
+                        self._fail(f"chunk length {pcm.size} not a multiple "
+                                   f"of hop {outer.hop}")
+                        return
+                    with outer._device_lock:
+                        codes = enc.push(pcm)
+                        out = dec.push(codes) if dec is not None else None
+                    if dec is not None:
+                        audio = np.asarray(out)[0, :, 0].astype("<f4")
+                        self._send(audio.tobytes())
+                    else:
+                        c = np.asarray(codes)[0].astype(">i4")
+                        self._send(struct.pack(">II", *c.shape) + c.tobytes())
+
+        class Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self.tcpd = Server((host, port), Handler)
+        self.port = self.tcpd.server_address[1]
+
+    def warmup(self) -> None:
+        """Compile the first/step jits for one chunk size before traffic."""
+        from neuralcodecs_tpu.models.encodec.streaming import (
+            StreamingDecoder, StreamingEncoder)
+
+        enc, dec = StreamingEncoder(self.model), StreamingDecoder(self.model)
+        with self._device_lock:
+            for _ in range(2):  # first-chunk jit AND steady-state jit
+                np.asarray(dec.push(enc.push(np.zeros(self.hop, np.float32))))
+
+    def serve_forever(self) -> None:
+        self.tcpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.tcpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self.tcpd.shutdown()
+        self.tcpd.server_close()
+
+
+class StreamClient:
+    """Minimal client for tests/examples (and a reference for other
+    implementations of the wire protocol)."""
+
+    def __init__(self, host: str, port: int, op: str, chunk_samples: int):
+        import socket
+
+        self.sock = socket.create_connection((host, port), timeout=300)
+        self.rfile = self.sock.makefile("rb")
+        self.sock.sendall(json.dumps(
+            {"op": op, "chunk_samples": chunk_samples}).encode() + b"\n")
+
+    def push(self, pcm: np.ndarray):
+        self.sock.sendall(struct.pack(">I", 4 * pcm.size)
+                          + pcm.astype("<f4").tobytes())
+        return self._recv()
+
+    def close(self) -> bytes:
+        self.sock.sendall(struct.pack(">I", 0))
+        tail = self._recv()
+        self.sock.close()
+        return tail
+
+    def _recv(self):
+        (n,) = struct.unpack(">I", _read_exact(self.rfile, 4))
+        if n == ERR_MARK:
+            (m,) = struct.unpack(">I", _read_exact(self.rfile, 4))
+            raise RuntimeError(json.loads(_read_exact(self.rfile, m))["error"])
+        return _read_exact(self.rfile, n) if n else b""

@@ -17,12 +17,29 @@ normalization, unsegmented model (the 24 kHz preset satisfies all).
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from neuralcodecs_tpu.core.exceptions import CodecError
+
+# The per-chunk step functions are pure in (params, chunk, state) — only the
+# carried state is per-session — so their jits are cached per model (and per
+# n_q for the encoder). Without this, every new session (e.g. every TCP
+# connection of cli/stream_serve.py) would retrace and recompile.
+_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _model_cache(model) -> dict:
+    try:
+        return _JIT_CACHE[model]
+    except KeyError:
+        cache: dict = {}
+        _JIT_CACHE[model] = cache
+        return cache
 
 
 def _check_streamable(model) -> None:
@@ -54,19 +71,25 @@ class StreamingEncoder:
             model.frame_rate, model.bandwidth)
         self._state = None
 
-        @jax.jit
-        def first(params, x):
-            emb, state = model.encoder.stream(params, x, None)
-            return model.quantizer.encode(params, emb.astype(jnp.float32),
-                                          self.n_q), state
+        cache = _model_cache(model)
+        key = ("enc", self.n_q)
+        if key not in cache:
+            n_q_static = self.n_q
 
-        @jax.jit
-        def step(params, x, state):
-            emb, state = model.encoder.stream(params, x, state)
-            return model.quantizer.encode(params, emb.astype(jnp.float32),
-                                          self.n_q), state
+            @jax.jit
+            def first(params, x):
+                emb, state = model.encoder.stream(params, x, None)
+                return model.quantizer.encode(
+                    params, emb.astype(jnp.float32), n_q_static), state
 
-        self._first, self._step = first, step
+            @jax.jit
+            def step(params, x, state):
+                emb, state = model.encoder.stream(params, x, state)
+                return model.quantizer.encode(
+                    params, emb.astype(jnp.float32), n_q_static), state
+
+            cache[key] = (first, step)
+        self._first, self._step = cache[key]
 
     def push(self, audio_chunk) -> jax.Array:
         """audio_chunk: [T] | [B, T] | [B, T, C], T % hop_length == 0."""
@@ -97,17 +120,20 @@ class StreamingDecoder:
         self.model = model
         self._state = None
 
-        @jax.jit
-        def first(params, codes):
-            emb = model.quantizer.decode(params, codes)
-            return model.decoder.stream(params, emb, None)
+        cache = _model_cache(model)
+        if "dec" not in cache:
+            @jax.jit
+            def first(params, codes):
+                emb = model.quantizer.decode(params, codes)
+                return model.decoder.stream(params, emb, None)
 
-        @jax.jit
-        def step(params, codes, state):
-            emb = model.quantizer.decode(params, codes)
-            return model.decoder.stream(params, emb, state)
+            @jax.jit
+            def step(params, codes, state):
+                emb = model.quantizer.decode(params, codes)
+                return model.decoder.stream(params, emb, state)
 
-        self._first, self._step = first, step
+            cache["dec"] = (first, step)
+        self._first, self._step = cache["dec"]
 
     def push(self, codes) -> jax.Array:
         """codes: [B, n_q, F] -> audio [B, F*hop, channels]."""

@@ -88,3 +88,94 @@ def test_streaming_rejects_bad_chunk(rng):
     with pytest.raises(CodecError):
         enc.push(rng.standard_normal(model.encoder.hop_length + 1)
                  .astype(np.float32))
+
+
+# -- TCP streaming serving (cli/stream_serve.py) ------------------------------
+
+
+def _stream_server(model):
+    from neuralcodecs_tpu.cli.stream_serve import StreamingCodecServer
+
+    srv = StreamingCodecServer(model, port=0)
+    srv.warmup()
+    srv.start_background()
+    return srv
+
+
+def test_stream_serve_roundtrip_matches_local_session(rng):
+    """Audio pushed over TCP must equal the local streaming session output."""
+    from neuralcodecs_tpu.cli.stream_serve import StreamClient
+    from neuralcodecs_tpu.models.encodec.streaming import (
+        StreamingDecoder, StreamingEncoder)
+
+    model = Encodec(tiny_config())
+    hop = model.encoder.hop_length
+    audio = (0.3 * rng.standard_normal(hop * 24)).astype(np.float32)
+    chunk = hop * 8
+
+    enc, dec = StreamingEncoder(model), StreamingDecoder(model)
+    want = np.concatenate(
+        [np.asarray(dec.push(enc.push(audio[o: o + chunk])))[0, :, 0]
+         for o in range(0, audio.size, chunk)])
+
+    srv = _stream_server(model)
+    try:
+        cli = StreamClient("127.0.0.1", srv.port, "roundtrip", chunk)
+        got = np.concatenate(
+            [np.frombuffer(cli.push(audio[o: o + chunk]), "<f4")
+             for o in range(0, audio.size, chunk)])
+        assert cli.close() == b""
+    finally:
+        srv.shutdown()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_stream_serve_encode_and_concurrent_sessions(rng):
+    """Two interleaved encode sessions must not share state; codes match the
+    local streaming encoder run per stream."""
+    import struct
+
+    from neuralcodecs_tpu.cli.stream_serve import StreamClient
+    from neuralcodecs_tpu.models.encodec.streaming import StreamingEncoder
+
+    model = Encodec(tiny_config())
+    hop = model.encoder.hop_length
+    chunk = hop * 6
+    a = (0.3 * rng.standard_normal(chunk * 3)).astype(np.float32)
+    b = (0.3 * rng.standard_normal(chunk * 3)).astype(np.float32)
+
+    def local_codes(x):
+        enc = StreamingEncoder(model)
+        return [np.asarray(enc.push(x[o: o + chunk]))[0]
+                for o in range(0, x.size, chunk)]
+
+    want_a, want_b = local_codes(a), local_codes(b)
+
+    srv = _stream_server(model)
+    try:
+        ca = StreamClient("127.0.0.1", srv.port, "encode", chunk)
+        cb = StreamClient("127.0.0.1", srv.port, "encode", chunk)
+        for i in range(3):  # interleave pushes across the two sessions
+            for cli, x, want in ((ca, a, want_a), (cb, b, want_b)):
+                raw = cli.push(x[i * chunk: (i + 1) * chunk])
+                n_q, f = struct.unpack(">II", raw[:8])
+                codes = np.frombuffer(raw[8:], ">i4").reshape(n_q, f)
+                np.testing.assert_array_equal(codes, want[i])
+        ca.close(), cb.close()
+    finally:
+        srv.shutdown()
+
+
+def test_stream_serve_rejects_bad_header(rng):
+    """Malformed headers get a framed JSON error, not a hang or traceback."""
+    from neuralcodecs_tpu.cli.stream_serve import StreamClient
+
+    model = Encodec(tiny_config())
+    srv = _stream_server(model)
+    try:
+        with pytest.raises(RuntimeError, match="bad header"):
+            cli = StreamClient("127.0.0.1", srv.port, "roundtrip",
+                               chunk_samples=7)  # not a hop multiple
+            cli.push(np.zeros(7, np.float32))
+    finally:
+        srv.shutdown()
