@@ -8,15 +8,19 @@ step per chunk, state carried on device) in a dependency-free TCP framing:
 
 wire protocol (all integers big-endian):
     client -> server, once:   one JSON header line ending in ``\n``:
-        {"op": "roundtrip" | "encode", "chunk_samples": N}
-        N must be a multiple of the model hop (320 for the 24 kHz preset).
+        {"op": "roundtrip" | "encode" | "decode", "chunk_samples": N}
+        N must be a multiple of the model hop (320 for the 24 kHz preset);
+        for "decode" it is ignored (frame sizing comes from the codes).
     then repeated frames:     u32 length | payload
-        payload = float32 little-endian mono PCM samples, len % hop == 0
-        (the final chunk may be shorter than chunk_samples; zero-pad to the
-        hop grid client-side)
+        roundtrip/encode: float32 little-endian mono PCM samples,
+            len % hop == 0 (the final chunk may be shorter than
+            chunk_samples; zero-pad to the hop grid client-side)
+        decode: u32 n_q | u32 F | int32 codes [n_q, F] row-major
+            (the same framing "encode" responses use, so an encode
+            session's output can be piped into a decode session)
     server -> client, per frame:  u32 length | payload
-        roundtrip: float32 PCM, exactly the decoded samples for the chunk
-        encode:    u32 n_q | u32 F | int32 codes [n_q, F] row-major
+        roundtrip/decode: float32 PCM, exactly the decoded samples
+        encode:           u32 n_q | u32 F | int32 codes [n_q, F] row-major
     a zero-length client frame ends the stream; the server closes after
     echoing a zero-length frame.
     On a malformed header/frame the server sends u32 0xFFFFFFFF | JSON
@@ -82,18 +86,21 @@ class StreamingCodecServer:
                     header = json.loads(self.rfile.readline(4096) or b"{}")
                     op = header.get("op")
                     chunk = int(header.get("chunk_samples", 0))
-                    if op not in ("roundtrip", "encode") or chunk <= 0 \
-                            or chunk % outer.hop:
-                        self._fail(f"bad header: op must be roundtrip|encode "
-                                   f"and chunk_samples a positive multiple "
-                                   f"of {outer.hop}")
+                    if op not in ("roundtrip", "encode", "decode") or (
+                            op != "decode"
+                            and (chunk <= 0 or chunk % outer.hop)):
+                        self._fail(f"bad header: op must be roundtrip|encode|"
+                                   f"decode and chunk_samples a positive "
+                                   f"multiple of {outer.hop}")
                         return
                 except (ValueError, json.JSONDecodeError):
                     self._fail("malformed JSON header")
                     return
-                enc = StreamingEncoder(outer.model)
+                enc = (StreamingEncoder(outer.model)
+                       if op != "decode" else None)
                 dec = (StreamingDecoder(outer.model)
-                       if op == "roundtrip" else None)
+                       if op != "encode" else None)
+                n_q_max = outer.model.num_codebooks
                 while True:
                     try:
                         (n,) = struct.unpack(">I", _read_exact(self.rfile, 4))
@@ -105,14 +112,32 @@ class StreamingCodecServer:
                     if n > MAX_FRAME_BYTES or n % 4:
                         self._fail("bad frame length")
                         return
-                    pcm = np.frombuffer(_read_exact(self.rfile, n), "<f4")
-                    if pcm.size % outer.hop:
-                        self._fail(f"chunk length {pcm.size} not a multiple "
-                                   f"of hop {outer.hop}")
-                        return
-                    with outer._device_lock:
-                        codes = enc.push(pcm)
-                        out = dec.push(codes) if dec is not None else None
+                    payload = _read_exact(self.rfile, n)
+                    if enc is not None:
+                        pcm = np.frombuffer(payload, "<f4")
+                        if pcm.size % outer.hop:
+                            self._fail(f"chunk length {pcm.size} not a "
+                                       f"multiple of hop {outer.hop}")
+                            return
+                        with outer._device_lock:
+                            codes = enc.push(pcm)
+                            out = (dec.push(codes)
+                                   if dec is not None else None)
+                    else:
+                        if n < 8:
+                            self._fail("bad codes frame: missing n_q/F")
+                            return
+                        n_q, f = struct.unpack(">II", payload[:8])
+                        if not (1 <= n_q <= n_q_max) or f < 1 \
+                                or n != 8 + 4 * n_q * f:
+                            self._fail(f"bad codes frame: n_q must be in "
+                                       f"[1, {n_q_max}] and length match "
+                                       f"n_q*F int32s")
+                            return
+                        codes = (np.frombuffer(payload[8:], ">i4")
+                                 .astype(np.int32).reshape(1, n_q, f))
+                        with outer._device_lock:
+                            out = dec.push(codes)
                     if dec is not None:
                         audio = np.asarray(out)[0, :, 0].astype("<f4")
                         self._send(audio.tobytes())
@@ -165,6 +190,13 @@ class StreamClient:
     def push(self, pcm: np.ndarray):
         self.sock.sendall(struct.pack(">I", 4 * pcm.size)
                           + pcm.astype("<f4").tobytes())
+        return self._recv()
+
+    def push_codes(self, codes: np.ndarray):
+        """codes: [n_q, F] int32 -> decoded PCM bytes ("decode" sessions)."""
+        body = (struct.pack(">II", *codes.shape)
+                + codes.astype(">i4").tobytes())
+        self.sock.sendall(struct.pack(">I", len(body)) + body)
         return self._recv()
 
     def close(self) -> bytes:

@@ -166,6 +166,57 @@ def test_stream_serve_encode_and_concurrent_sessions(rng):
         srv.shutdown()
 
 
+def test_stream_serve_encode_pipes_into_decode(rng):
+    """An encode session's framed codes fed to a decode session reproduce
+    the local streaming round-trip audio."""
+    import struct
+
+    from neuralcodecs_tpu.cli.stream_serve import StreamClient
+    from neuralcodecs_tpu.models.encodec.streaming import (
+        StreamingDecoder, StreamingEncoder)
+
+    model = Encodec(tiny_config())
+    hop = model.encoder.hop_length
+    chunk = hop * 8
+    audio = (0.3 * rng.standard_normal(chunk * 2)).astype(np.float32)
+
+    enc, dec = StreamingEncoder(model), StreamingDecoder(model)
+    want = np.concatenate(
+        [np.asarray(dec.push(enc.push(audio[o: o + chunk])))[0, :, 0]
+         for o in range(0, audio.size, chunk)])
+
+    srv = _stream_server(model)
+    try:
+        ce = StreamClient("127.0.0.1", srv.port, "encode", chunk)
+        cd = StreamClient("127.0.0.1", srv.port, "decode", 0)
+        got = []
+        for o in range(0, audio.size, chunk):
+            raw = ce.push(audio[o: o + chunk])
+            n_q, f = struct.unpack(">II", raw[:8])
+            codes = np.frombuffer(raw[8:], ">i4").reshape(n_q, f)
+            got.append(np.frombuffer(cd.push_codes(codes), "<f4"))
+        ce.close(), cd.close()
+    finally:
+        srv.shutdown()
+    np.testing.assert_allclose(np.concatenate(got), want,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_stream_serve_decode_rejects_bad_codes_frame(rng):
+    """Oversized n_q in a decode frame gets a framed error, not a crash."""
+    from neuralcodecs_tpu.cli.stream_serve import StreamClient
+
+    model = Encodec(tiny_config())
+    srv = _stream_server(model)
+    try:
+        cli = StreamClient("127.0.0.1", srv.port, "decode", 0)
+        bad = np.zeros((model.num_codebooks + 1, 4), np.int32)
+        with pytest.raises(RuntimeError, match="bad codes frame"):
+            cli.push_codes(bad)
+    finally:
+        srv.shutdown()
+
+
 def test_stream_serve_rejects_bad_header(rng):
     """Malformed headers get a framed JSON error, not a hang or traceback."""
     from neuralcodecs_tpu.cli.stream_serve import StreamClient
