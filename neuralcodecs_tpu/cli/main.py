@@ -10,6 +10,7 @@ as argparse subcommands:
     python -m neuralcodecs_tpu.cli decompress --input out.ecdc --output rec.wav
     python -m neuralcodecs_tpu.cli tts --text "[S1]Hello!" --output tts.wav [--audio-prompt v.wav]
     python -m neuralcodecs_tpu.cli serve --codec snac --port 8799
+    python -m neuralcodecs_tpu.cli stream --port 8800 --input in.wav --output out.wav
     python -m neuralcodecs_tpu.cli validate --codec snac --model path_or_repo
     python -m neuralcodecs_tpu.cli zoo
     python -m neuralcodecs_tpu.cli bench
@@ -167,6 +168,50 @@ def cmd_tts(args) -> int:
                             **gen_kwargs)
     AudioSignal(audios[0], model.config.sample_rate).write(args.output)
     print(f"wrote {args.output} ({len(audios[0]) / model.config.sample_rate:.2f}s)")
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """Client for a running `serve --stream-port` server: stream a WAV
+    chunk-by-chunk over one TCP session and reassemble the result."""
+    from neuralcodecs_tpu.cli.stream_serve import StreamClient
+    from neuralcodecs_tpu.dsp.signal import AudioSignal
+
+    cli = StreamClient(args.host, args.port, args.op, 0)
+    hop, sr = cli.info["hop"], cli.info["sample_rate"]
+    signal = AudioSignal.load(args.input).to_mono().resample(sr)
+    audio = np.asarray(signal.audio_data[0, 0], dtype=np.float32)
+    chunk = max(1, round(args.chunk_ms * sr / 1000 / hop)) * hop
+    pad = (-audio.size) % hop
+    audio = np.pad(audio, (0, pad))
+
+    outs, walls = [], []
+    for off in range(0, audio.size, chunk):
+        t0 = time.perf_counter()
+        raw = cli.push(audio[off: off + chunk])
+        walls.append(time.perf_counter() - t0)
+        outs.append(raw)
+    cli.close()
+
+    if args.op == "roundtrip":
+        pcm = np.concatenate([np.frombuffer(r, "<f4") for r in outs])
+        AudioSignal(pcm, sr).write(args.output)
+    else:  # encode: save framed codes as one [n_q, F_total] array
+        import struct as _struct
+
+        mats = []
+        for r in outs:
+            n_q, f = _struct.unpack(">II", r[:8])
+            mats.append(np.frombuffer(r[8:], ">i4").reshape(n_q, f))
+        np.save(args.output, np.concatenate(mats, axis=1).astype(np.int32))
+    walls_ms = sorted(1000 * w for w in walls)
+    print(json.dumps({
+        "output": args.output, "op": args.op, "chunks": len(walls),
+        "chunk_samples": chunk, "chunk_ms": 1000 * chunk / sr,
+        "per_chunk_ms": {"p50": walls_ms[len(walls_ms) // 2],
+                         "max": walls_ms[-1]},
+        "x_realtime": (audio.size / sr) / max(sum(walls), 1e-9),
+    }))
     return 0
 
 
@@ -370,6 +415,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "TCP port (encodec causal preset only; 0 = ephemeral)")
     sv.set_defaults(fn=cmd_serve, operation="initialization")
 
+    st = sub.add_parser("stream",
+                        help="stream a WAV through a serve --stream-port "
+                             "server (one TCP session, chunk by chunk)")
+    st.add_argument("--host", default="127.0.0.1")
+    st.add_argument("--port", type=int, required=True,
+                    help="the server's --stream-port")
+    st.add_argument("--op", choices=["roundtrip", "encode"],
+                    default="roundtrip")
+    st.add_argument("--input", "--in", dest="input", required=True)
+    st.add_argument("--output", "--out", dest="output", required=True,
+                    help="WAV for roundtrip, .npy codes for encode")
+    st.add_argument("--chunk-ms", type=float, default=100.0,
+                    help="target chunk duration (rounded to the model hop)")
+    st.set_defaults(fn=cmd_stream, operation="encoding")
+
     it = sub.add_parser("interactive", help="interactive menu (Examples-app style)")
     it.set_defaults(fn=cmd_interactive)
     return p
@@ -377,6 +437,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     from neuralcodecs_tpu.core.operations import CodecOperation, OperationResult
+
+    # Persistent compilation cache (same policy as bench.py): serve/tts
+    # restarts on the same host reuse compiled executables instead of
+    # re-tracing multi-minute jits. Opt out with NC_JAX_CACHE_DIR=''.
+    cache_dir = os.environ.get("NC_JAX_CACHE_DIR", "/tmp/nc_jax_cache")
+    if cache_dir:
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              5.0)
+        except Exception:
+            pass
 
     args = build_parser().parse_args(argv)
     operation = CodecOperation(getattr(args, "operation", "initialization"))

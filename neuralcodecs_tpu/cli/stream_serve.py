@@ -9,8 +9,9 @@ step per chunk, state carried on device) in a dependency-free TCP framing:
 wire protocol (all integers big-endian):
     client -> server, once:   one JSON header line ending in ``\n``:
         {"op": "roundtrip" | "encode" | "decode", "chunk_samples": N}
-        N must be a multiple of the model hop (320 for the 24 kHz preset);
-        for "decode" it is ignored (frame sizing comes from the codes).
+        N (advisory) must be 0 — "frames sized per the hello below" — or
+        a multiple of the model hop (320 for the 24 kHz preset); for
+        "decode" it is ignored (frame sizing comes from the codes).
     then repeated frames:     u32 length | payload
         roundtrip/encode: float32 little-endian mono PCM samples,
             len % hop == 0 (the final chunk may be shorter than
@@ -18,6 +19,9 @@ wire protocol (all integers big-endian):
         decode: u32 n_q | u32 F | int32 codes [n_q, F] row-major
             (the same framing "encode" responses use, so an encode
             session's output can be piped into a decode session)
+    server -> client, once, after accepting the header: a hello frame
+        u32 length | JSON {"hop": H, "sample_rate": R, "n_q": N}
+        so clients can size chunks without knowing the model preset.
     server -> client, per frame:  u32 length | payload
         roundtrip/decode: float32 PCM, exactly the decoded samples
         encode:           u32 n_q | u32 F | int32 codes [n_q, F] row-major
@@ -88,14 +92,19 @@ class StreamingCodecServer:
                     chunk = int(header.get("chunk_samples", 0))
                     if op not in ("roundtrip", "encode", "decode") or (
                             op != "decode"
-                            and (chunk <= 0 or chunk % outer.hop)):
+                            and (chunk < 0 or chunk % outer.hop)):
                         self._fail(f"bad header: op must be roundtrip|encode|"
-                                   f"decode and chunk_samples a positive "
+                                   f"decode and chunk_samples 0 or a "
                                    f"multiple of {outer.hop}")
                         return
                 except (ValueError, json.JSONDecodeError):
                     self._fail("malformed JSON header")
                     return
+                self._send(json.dumps({
+                    "hop": outer.hop,
+                    "sample_rate": outer.model.config.sample_rate,
+                    "n_q": outer.model.num_codebooks,
+                }).encode())
                 enc = (StreamingEncoder(outer.model)
                        if op != "decode" else None)
                 dec = (StreamingDecoder(outer.model)
@@ -186,6 +195,7 @@ class StreamClient:
         self.rfile = self.sock.makefile("rb")
         self.sock.sendall(json.dumps(
             {"op": op, "chunk_samples": chunk_samples}).encode() + b"\n")
+        self.info = json.loads(self._recv())  # hello: hop/sample_rate/n_q
 
     def push(self, pcm: np.ndarray):
         self.sock.sendall(struct.pack(">I", 4 * pcm.size)

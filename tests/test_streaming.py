@@ -217,6 +217,51 @@ def test_stream_serve_decode_rejects_bad_codes_frame(rng):
         srv.shutdown()
 
 
+def test_cli_stream_command_roundtrip(tmp_path, rng, capsys):
+    """`cli stream` pushes a WAV through a live server and writes audio
+    identical to the local streaming sessions."""
+    import json
+    import wave
+
+    from neuralcodecs_tpu.cli.main import main
+    from neuralcodecs_tpu.dsp.signal import AudioSignal
+    from neuralcodecs_tpu.models.encodec.streaming import (
+        StreamingDecoder, StreamingEncoder)
+
+    model = Encodec(tiny_config())  # 16 kHz, hop 8
+    sr = model.config.sample_rate
+    x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr // 4) / sr)
+         ).astype(np.float32)
+    wav_in = tmp_path / "in.wav"
+    with wave.open(str(wav_in), "wb") as w:
+        w.setnchannels(1), w.setsampwidth(2), w.setframerate(sr)
+        w.writeframes((x * 32767).astype(np.int16).tobytes())
+
+    srv = _stream_server(model)
+    wav_out = tmp_path / "out.wav"
+    try:
+        rc = main(["stream", "--port", str(srv.port), "--input", str(wav_in),
+                   "--output", str(wav_out), "--chunk-ms", "50"])
+    finally:
+        srv.shutdown()
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["chunks"] == 5 and stats["chunk_samples"] == 800
+
+    loaded = np.asarray(AudioSignal.load(str(wav_in)).audio_data[0, 0],
+                        dtype=np.float32)
+    enc, dec = StreamingEncoder(model), StreamingDecoder(model)
+    want = np.concatenate(
+        [np.asarray(dec.push(enc.push(loaded[o: o + 800])))[0, :, 0]
+         for o in range(0, loaded.size, 800)])
+    got = np.asarray(AudioSignal.load(str(wav_out)).audio_data[0, 0],
+                     dtype=np.float32)
+    assert got.size == want.size
+    # output WAV is 16-bit quantized (write x32767, read /32768 — up to
+    # ~1.5 LSB asymmetry); compare within 2 LSB
+    np.testing.assert_allclose(got, want, atol=2 / 32767)
+
+
 def test_stream_serve_rejects_bad_header(rng):
     """Malformed headers get a framed JSON error, not a hang or traceback."""
     from neuralcodecs_tpu.cli.stream_serve import StreamClient
