@@ -225,12 +225,33 @@ class Dia:
         max_len = self.config.data.text_length
         return np.frombuffer(raw[:max_len], dtype=np.uint8).astype(np.int64)
 
-    def _pad_text(self, token_lists: Sequence[np.ndarray]) -> np.ndarray:
+    def _pad_text(self, token_lists: Sequence[np.ndarray],
+                  pad_to: int | None = None) -> np.ndarray:
+        """Pad token lists to a power-of-two length bucket.
+
+        The reference pads every prompt to the full ``text_length``
+        (Dia.EncodeText/PrepareTextInput), which makes every decode step
+        read 1024-position cross-attention K/V per layer no matter how
+        short the text is. Padded positions carry exactly zero attention
+        weight (they are masked to -inf before the softmax and their keys
+        are zeroed in the cache), so shrinking the pad length to the
+        smallest bucket >= the longest real prompt is numerically
+        equivalent while cutting the dominant weight-independent
+        per-step HBM read. Buckets are powers of two (floor 64) so the
+        jit trace cache stays small; ``pad_to`` pins an explicit length
+        (e.g. ``text_length`` for reference-identical shapes).
+        """
         cfg = self.config.data
-        out = np.full((len(token_lists), cfg.text_length), cfg.text_pad_value,
+        if pad_to is None:
+            longest = max((len(t) for t in token_lists), default=0)
+            pad_to = 64
+            while pad_to < min(longest, cfg.text_length):
+                pad_to *= 2
+        pad_to = min(max(pad_to, 1), cfg.text_length)
+        out = np.full((len(token_lists), pad_to), cfg.text_pad_value,
                       np.int64)
         for i, tokens in enumerate(token_lists):
-            out[i, :len(tokens)] = tokens[:cfg.text_length]
+            out[i, :len(tokens)] = tokens[:pad_to]
         return out
 
     # ------------------------------------------------------------ model parts
@@ -268,14 +289,20 @@ class Dia:
     @functools.partial(jax.jit, static_argnames=("self", "max_tokens", "temperature",
                                                  "top_k", "top_p", "cfg_scale"))
     def _generate_jit(self, params: Params, text_tokens: Array, prefill: Array,
-                      prefill_steps: Array, rng: Array, *, max_tokens: int,
-                      temperature: float, top_k: int, top_p: float,
-                      cfg_scale: float):
+                      prefill_steps: Array, rng: Array, token_limit: Array,
+                      row_active: Array, *, max_tokens: int, temperature: float,
+                      top_k: int, top_p: float, cfg_scale: float):
         """The whole generation pipeline on device.
 
         text_tokens: [B, S] int; prefill: [B, Tpre, C] delayed prompt tokens;
         prefill_steps: [B] int32. Returns (generated [B, maxT, C],
         finished_step [B], lengths [B]).
+
+        ``max_tokens`` (static) sizes the generation buffer and KV caches;
+        ``token_limit`` (dynamic, <= max_tokens) is where EOS is forced.
+        Splitting the two lets callers bucket the compiled buffer length
+        while honoring the exact requested limit, so serving different
+        ``max_tokens`` values reuses one executable per bucket.
         """
         cfg = self.config
         data = cfg.data
@@ -375,7 +402,7 @@ class Dia:
             step_idx = step + 1
             active = countdown != 0
             is_eos = (~eos_detected) & (pred[:, 0] == eos) & active
-            is_max = step_idx >= (max_tokens - max_delay)
+            is_max = step_idx >= (token_limit - max_delay)
             trigger = active & (is_eos | is_max)
             eos_detected = eos_detected | trigger
             start = trigger & (countdown < 0)
@@ -400,10 +427,12 @@ class Dia:
             return (step + 1, generated, eos_detected, finished, countdown,
                     new_caches, rng, step_idx)
 
+        # batch-padding rows start with countdown 0 ("already finished") so
+        # they can never hold the loop open past the real rows' EOS
         carry = (dec_step0, generated,
                  jnp.zeros((b,), bool),
                  jnp.full((b,), -1, jnp.int32),
-                 jnp.full((b,), -1, jnp.int32),
+                 jnp.where(row_active, -1, 0).astype(jnp.int32),
                  self_caches, rng, dec_step0)
         (final_step, generated, _, finished, _, _, _, _) = jax.lax.while_loop(
             cond, body, carry)
@@ -416,16 +445,44 @@ class Dia:
                        cfg_scale: float | None = None, temperature: float | None = None,
                        top_p: float | None = None, top_k: int | None = None,
                        audio_prompts: Sequence[np.ndarray] | None = None,
-                       seed: int = 0, verbose: bool = False):
+                       seed: int = 0, verbose: bool = False,
+                       pad_text_to: int | None = None,
+                       pad_tokens_to: int | None = None,
+                       pad_batch_to: int | None = None):
         """Generate delay-reverted DAC codes per batch item.
 
         Returns (codes [B, L, C] int32 in [0, 1023], lengths [B]).
+
+        The three ``pad_*_to`` knobs pin compiled shapes; by default each
+        axis is bucketed to the next power of two (text prompt length,
+        generation-buffer length, batch size) so a serving process reuses
+        one executable per bucket instead of recompiling per request
+        shape. Bucketing is semantically inert: EOS is still forced at
+        the exact requested ``max_tokens`` (dynamic ``token_limit``),
+        batch-padding rows are masked out of the loop's exit condition
+        and sliced off, and text padding carries zero attention weight.
         """
         cfg = self.config
         data = cfg.data
-        max_tokens = max_tokens or data.audio_length
-        b = len(texts)
-        text_arr = self._pad_text([self.encode_text(t) for t in texts])
+        requested = int(max_tokens or data.audio_length)
+        if pad_tokens_to is None:
+            pad_tokens_to = 64
+            while pad_tokens_to < requested:
+                pad_tokens_to *= 2
+            # the model's own ceiling is a better bucket than the next pow2
+            pad_tokens_to = min(pad_tokens_to, max(data.audio_length, requested))
+        buffer_len = max(int(pad_tokens_to), requested)
+        b_real = len(texts)
+        if pad_batch_to is None:
+            pad_batch_to = 1
+            while pad_batch_to < b_real:
+                pad_batch_to *= 2
+        b = max(int(pad_batch_to), b_real)
+        texts = list(texts) + [""] * (b - b_real)
+        if audio_prompts:
+            audio_prompts = list(audio_prompts) + [None] * (b - b_real)
+        text_arr = self._pad_text([self.encode_text(t) for t in texts],
+                                  pad_to=pad_text_to)
         max_delay = max(data.delay_pattern)
 
         # audio prompt prefill (Dia.PrepareAudioPrompt :312-424)
@@ -442,6 +499,10 @@ class Dia:
                 if prompt is not None:
                     prefill[i, 1:1 + len(prompt)] = np.asarray(prompt)
                     prefill_steps[i] = len(prompt) + 1
+        if b_real and b > b_real:
+            # batch-padding rows must not pull the loop's start step
+            # (min over prefill_steps) below the real rows' minimum
+            prefill_steps[b_real:] = prefill_steps[:b_real].min()
         delayed = apply_audio_delay(jnp.asarray(prefill), -1,
                                     data.audio_bos_value, data.delay_pattern)
 
@@ -451,15 +512,18 @@ class Dia:
         generated, finished, lengths = self._generate_jit(
             self.params, jnp.asarray(text_arr), delayed,
             jnp.asarray(prefill_steps), jax.random.key(seed),
-            max_tokens=int(max_tokens),
+            jnp.int32(requested), jnp.arange(b) < b_real,
+            max_tokens=int(buffer_len),
             temperature=float(cfg.temperature if temperature is None else temperature),
             top_k=int(cfg.top_k if top_k is None else top_k),
             top_p=float(cfg.top_p if top_p is None else top_p),
             cfg_scale=float(cfg.cfg_scale if cfg_scale is None else cfg_scale))
 
-        generated = np.asarray(generated)       # forces completion
-        lengths = np.asarray(lengths)
-        finished = np.asarray(finished)
+        # drop batch-padding rows before any length accounting
+        generated = np.asarray(generated)[:b_real]  # forces completion
+        lengths = np.asarray(lengths)[:b_real]
+        finished = np.asarray(finished)[:b_real]
+        b = b_real
         if verbose:
             # tokens/s + realtime factor reporting (Models/Dia.cs:758-812;
             # 86 tokens = 1 s of audio)
@@ -467,7 +531,7 @@ class Dia:
             steps = int(finished.max()) if finished.size else 0
             if elapsed > 0 and steps > 0:
                 print(f"generate: {steps} steps in {elapsed:.2f}s = "
-                      f"{steps * len(texts) / elapsed:.1f} tokens/s, "
+                      f"{steps * b_real / elapsed:.1f} tokens/s, "
                       f"realtime factor {steps / 86.0 / elapsed:.2f}x")
         # extract + revert delay (Dia.Generate :764-795, GenerateOutput :1010-1045)
         max_len = int(lengths.max()) + max_delay if b else 0

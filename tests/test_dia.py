@@ -152,3 +152,42 @@ def test_dia_int8_quantization(rng):
     c_q, _ = dia.generate_codes(["[S1]hello"], max_tokens=16, seed=5)
     assert c_q.shape[2] == 3  # sampling differs slightly; shape/validity hold
     assert (c_q >= 0).all() and (c_q <= 1023).all()
+
+
+def test_dia_text_bucket_padding_equivalent():
+    """Bucketed text padding (power-of-two >= longest prompt) produces the
+    same greedy generation as reference-identical full-length padding:
+    padded positions are masked out of the encoder self-attention and the
+    cross-attention cache, so only shapes change."""
+    cfg = tiny_config(data=DiaDataConfig(
+        text_length=256, audio_length=32, channels=3,
+        audio_eos_value=32, audio_pad_value=33, audio_bos_value=34,
+        delay_pattern=[0, 1, 2]))
+    dia = Dia(cfg, seed=0)
+    texts = ["[S1]hello there", "[S2]ok"]
+    full, lf = dia.generate_codes(texts, max_tokens=20, seed=3,
+                                  temperature=0.0, pad_text_to=256)
+    bucketed, lb = dia.generate_codes(texts, max_tokens=20, seed=3,
+                                      temperature=0.0)
+    # the bucket actually shrank the traced shape
+    assert dia._pad_text([dia.encode_text(t) for t in texts]).shape[1] == 64
+    np.testing.assert_array_equal(lf, lb)
+    np.testing.assert_array_equal(full, bucketed)
+
+
+def test_dia_token_and_batch_bucket_equivalent():
+    """Token-buffer bucketing (dynamic token_limit inside a larger static
+    buffer) and batch padding (masked rows, sliced off) reproduce the
+    unbucketed generation exactly."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    texts = ["[S1]hello there", "[S2]ok"]
+    base, lb = dia.generate_codes(texts, max_tokens=20, seed=3,
+                                  temperature=0.0, pad_tokens_to=20,
+                                  pad_batch_to=2)
+    bucketed, lk = dia.generate_codes(texts, max_tokens=20, seed=3,
+                                      temperature=0.0, pad_tokens_to=32,
+                                      pad_batch_to=4)
+    np.testing.assert_array_equal(lb, lk)
+    np.testing.assert_array_equal(base, bucketed)
+    assert bucketed.shape[0] == 2  # padding rows sliced off
