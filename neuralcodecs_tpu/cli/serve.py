@@ -380,8 +380,15 @@ class CodecServer:
         would multiply startup time by ``log2(max_batch) x len(lengths)``).
         """
         if self.codec_name == "dia":
+            # Warm the bucketed shape a default request actually hits
+            # (generation-buffer bucket = the model's audio_length ceiling;
+            # batch bucket 1). token_limit is dynamic, so every max_tokens
+            # value a client sends reuses this one executable; other batch
+            # buckets still compile lazily on first use.
+            full = self.model.config.data.audio_length
             with self._device_lock:
-                self.model.generate_codes(["[S1]warmup"], max_tokens=8)
+                self.model.generate_codes(["[S1]warmup"], max_tokens=8,
+                                          pad_tokens_to=full)
             return
         sr = self.model.config.sample_rate
         want = getattr(self.model.config, "channels", 1)
