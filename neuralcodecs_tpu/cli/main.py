@@ -181,6 +181,10 @@ def cmd_stream(args) -> int:
     hop, sr = cli.info["hop"], cli.info["sample_rate"]
     signal = AudioSignal.load(args.input).to_mono().resample(sr)
     audio = np.asarray(signal.audio_data[0, 0], dtype=np.float32)
+    n_in = audio.size  # real (resampled) length, before hop-grid padding
+    if n_in == 0:
+        cli.close()
+        raise ValueError(f"input {args.input} contains no audio samples")
     chunk = max(1, round(args.chunk_ms * sr / 1000 / hop)) * hop
     pad = (-audio.size) % hop
     audio = np.pad(audio, (0, pad))
@@ -194,7 +198,8 @@ def cmd_stream(args) -> int:
     cli.close()
 
     if args.op == "roundtrip":
-        pcm = np.concatenate([np.frombuffer(r, "<f4") for r in outs])
+        # trim the hop-grid zero-pad tail so output length == input length
+        pcm = np.concatenate([np.frombuffer(r, "<f4") for r in outs])[:n_in]
         AudioSignal(pcm, sr).write(args.output)
     else:  # encode: save framed codes as one [n_q, F_total] array
         import struct as _struct
@@ -299,8 +304,11 @@ def cmd_serve(args) -> int:
             return 2
         from neuralcodecs_tpu.cli.stream_serve import StreamingCodecServer
 
+        # share the HTTP server's device lock: one chip, so batched HTTP
+        # forwards and streaming steps must stay mutually serialized
         stream_server = StreamingCodecServer(model, host=args.host,
-                                             port=args.stream_port)
+                                             port=args.stream_port,
+                                             device_lock=server._device_lock)
     print(f"warming up {args.codec} ...", file=sys.stderr)
     server.warmup()
     if stream_server is not None:
@@ -438,9 +446,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     from neuralcodecs_tpu.core.operations import CodecOperation, OperationResult
 
+    args = build_parser().parse_args(argv)
+
     # Persistent compilation cache (same policy as bench.py): serve/tts
     # restarts on the same host reuse compiled executables instead of
     # re-tracing multi-minute jits. Opt out with NC_JAX_CACHE_DIR=''.
+    # Configured AFTER argparse so --help/zoo/usage errors never pay the
+    # jax import (which probes accelerators at import time on TPU hosts).
     cache_dir = os.environ.get("NC_JAX_CACHE_DIR", "/tmp/nc_jax_cache")
     if cache_dir:
         try:
@@ -451,8 +463,6 @@ def main(argv=None) -> int:
                               5.0)
         except Exception:
             pass
-
-    args = build_parser().parse_args(argv)
     operation = CodecOperation(getattr(args, "operation", "initialization"))
     try:
         return args.fn(args)

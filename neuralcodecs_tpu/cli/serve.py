@@ -204,6 +204,11 @@ class CodecServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: clients reuse one TCP connection across
+            # requests (Content-Length is always set below), removing
+            # per-request handshake + thread-spawn from the serving path
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):  # quiet by default
                 pass
 
@@ -281,7 +286,8 @@ class CodecServer:
                                     "strings")
                             with server._device_lock:
                                 audios = server.model.generate(
-                                    texts, max_tokens=max_tokens)
+                                    texts, max_tokens=max_tokens,
+                                    pad_tokens_to=server._dia_token_bucket())
                             import base64
 
                             sr = server.model.config.sample_rate
@@ -297,7 +303,8 @@ class CodecServer:
                             text = payload["text"]
                             with server._device_lock:
                                 audios = server.model.generate(
-                                    [text], max_tokens=max_tokens)
+                                    [text], max_tokens=max_tokens,
+                                    pad_tokens_to=server._dia_token_bucket())
                             self._reply(200, _array_to_wav(
                                 np.asarray(audios[0]),
                                 server.model.config.sample_rate), "audio/wav")
@@ -313,6 +320,15 @@ class CodecServer:
         self.port = self.httpd.server_port
 
     # -- codec-family adapters -------------------------------------------------
+
+    def _dia_token_bucket(self) -> int:
+        """The one generation-buffer bucket the serving process uses: the
+        model's audio_length ceiling. Pinning it trades a bounded
+        per-step KV-cache read (the self-attention cache is sized by the
+        bucket) for never recompiling on a new ``max_tokens`` — EOS is
+        still forced at the exact requested limit via the dynamic
+        ``token_limit`` operand."""
+        return self.model.config.data.audio_length
 
     def _prepare_audio(self, audio: np.ndarray, sr: int) -> np.ndarray:
         """[C, T] request audio -> model-rate, model-channel layout."""
@@ -380,12 +396,18 @@ class CodecServer:
         would multiply startup time by ``log2(max_batch) x len(lengths)``).
         """
         if self.codec_name == "dia":
-            # Warm the bucketed shape a default request actually hits
-            # (generation-buffer bucket = the model's audio_length ceiling;
-            # batch bucket 1). token_limit is dynamic, so every max_tokens
-            # value a client sends reuses this one executable; other batch
-            # buckets still compile lazily on first use.
-            full = self.model.config.data.audio_length
+            # The /tts routes pin the generation-buffer bucket to the
+            # model's audio_length ceiling (_dia_token_bucket), so the
+            # dynamic token_limit makes EVERY max_tokens value a client
+            # sends reuse one executable per (text-bucket, batch-bucket)
+            # pair. Warm the buckets a default request hits: the floor
+            # text bucket (prompts <= 64 bytes) at batch 1. Longer prompts
+            # and batched requests still pay one lazy compile per
+            # power-of-two bucket they first touch — at most
+            # log2(text_length/64) + log2(max_batch) compiles over a
+            # process lifetime, each cached by the persistent jax
+            # compilation cache across restarts.
+            full = self._dia_token_bucket()
             with self._device_lock:
                 self.model.generate_codes(["[S1]warmup"], max_tokens=8,
                                           pad_tokens_to=full)

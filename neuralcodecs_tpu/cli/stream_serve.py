@@ -62,16 +62,30 @@ def _read_exact(rfile, n: int) -> bytes:
 
 
 class StreamingCodecServer:
-    """TCP server exposing per-connection streaming Encodec sessions."""
+    """TCP server exposing per-connection streaming Encodec sessions.
 
-    def __init__(self, model, host: str = "127.0.0.1", port: int = 0):
+    ``device_lock`` lets the caller share one lock across every serving
+    surface on the chip (e.g. the HTTP ``CodecServer`` running alongside),
+    so batched HTTP forwards and streaming steps stay mutually serialized.
+    ``block_hops`` bounds the compiled steady-state chunk shapes (see
+    ``StreamingEncoder``): the default ``(8, 1)`` covers the CLI client's
+    100 ms default (8 hops) and any hop-grid remainder, so :meth:`warmup`
+    covers every steady-state shape a session can step — no MID-STREAM
+    compiles for any client chunk size. A session's first chunk runs
+    whole (exact-boundary semantics); first-chunk sizes equal to a block
+    size are warmed, others pay one lazy compile at session start."""
+
+    def __init__(self, model, host: str = "127.0.0.1", port: int = 0,
+                 device_lock: threading.Lock | None = None,
+                 block_hops: tuple[int, ...] = (8, 1)):
         from neuralcodecs_tpu.models.encodec.streaming import (
             StreamingDecoder, StreamingEncoder, _check_streamable)
 
         _check_streamable(model)
         self.model = model
         self.hop = model.encoder.hop_length
-        self._device_lock = threading.Lock()
+        self.block_hops = block_hops
+        self._device_lock = device_lock or threading.Lock()
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -86,6 +100,12 @@ class StreamingCodecServer:
                 self.wfile.flush()
 
             def handle(self) -> None:
+                try:
+                    self._handle()
+                except (ConnectionError, BrokenPipeError):
+                    pass  # routine client abort mid-send; nothing to log
+
+            def _handle(self) -> None:
                 try:
                     header = json.loads(self.rfile.readline(4096) or b"{}")
                     op = header.get("op")
@@ -105,23 +125,25 @@ class StreamingCodecServer:
                     "sample_rate": outer.model.config.sample_rate,
                     "n_q": outer.model.num_codebooks,
                 }).encode())
-                enc = (StreamingEncoder(outer.model)
+                enc = (StreamingEncoder(outer.model,
+                                        block_hops=outer.block_hops)
                        if op != "decode" else None)
-                dec = (StreamingDecoder(outer.model)
+                dec = (StreamingDecoder(outer.model,
+                                        block_hops=outer.block_hops)
                        if op != "encode" else None)
                 n_q_max = outer.model.num_codebooks
                 while True:
                     try:
                         (n,) = struct.unpack(">I", _read_exact(self.rfile, 4))
+                        if n == 0:
+                            self._send(b"")
+                            return
+                        if n > MAX_FRAME_BYTES or n % 4:
+                            self._fail("bad frame length")
+                            return
+                        payload = _read_exact(self.rfile, n)
                     except ConnectionError:
-                        return  # client went away between frames
-                    if n == 0:
-                        self._send(b"")
-                        return
-                    if n > MAX_FRAME_BYTES or n % 4:
-                        self._fail("bad frame length")
-                        return
-                    payload = _read_exact(self.rfile, n)
+                        return  # client went away between/mid frame
                     if enc is not None:
                         pcm = np.frombuffer(payload, "<f4")
                         if pcm.size % outer.hop:
@@ -162,14 +184,20 @@ class StreamingCodecServer:
         self.port = self.tcpd.server_address[1]
 
     def warmup(self) -> None:
-        """Compile the first/step jits for one chunk size before traffic."""
+        """Compile the first-chunk and steady-state jits for every block
+        size (sessions decompose arbitrary hop-multiple chunks into
+        ``block_hops`` blocks after their first push), so no client chunk
+        size hits a mid-stream compile. Non-block first-chunk sizes and
+        decode sessions at a non-default ``n_q`` still compile lazily,
+        once, at session start."""
         from neuralcodecs_tpu.models.encodec.streaming import (
             StreamingDecoder, StreamingEncoder)
 
-        enc, dec = StreamingEncoder(self.model), StreamingDecoder(self.model)
+        enc = StreamingEncoder(self.model, block_hops=self.block_hops)
+        dec = StreamingDecoder(self.model, block_hops=self.block_hops)
         with self._device_lock:
-            for _ in range(2):  # first-chunk jit AND steady-state jit
-                np.asarray(dec.push(enc.push(np.zeros(self.hop, np.float32))))
+            enc.warm()
+            dec.warm()
 
     def serve_forever(self) -> None:
         self.tcpd.serve_forever()

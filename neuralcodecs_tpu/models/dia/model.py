@@ -392,11 +392,20 @@ class Dia:
             logits = jnp.where(non_first, -jnp.inf, logits)
             logits = logits.at[:, 0, eos].multiply(0.8)
 
-            flat = logits.reshape(b * channels, v)
+            # Per-row sampling keys (fold_in of the step key by row index):
+            # the noise drawn for row i depends only on (seed, step, i), not
+            # on the padded batch size, so batch bucketing (padding B to a
+            # power of two) is exactly reproducible at temperature > 0 —
+            # jax.random.categorical over the whole [B*C, V] block would
+            # pair its counter stream with the total element count and give
+            # real rows different tokens whenever B changes.
             rng, sample_key = jax.random.split(rng)
-            pred = _sample_next_token(flat, sample_key, temperature, top_k,
-                                      top_p, eos)
-            pred = pred.reshape(b, channels)
+            row_keys = jax.vmap(
+                lambda i: jax.random.fold_in(sample_key, i))(jnp.arange(b))
+            pred = jax.vmap(
+                lambda lg, k: _sample_next_token(lg, k, temperature, top_k,
+                                                 top_p, eos)
+            )(logits, row_keys)  # [B, C]
 
             # EOS detection + countdown (Dia.Generate :688-745)
             step_idx = step + 1
@@ -460,7 +469,10 @@ class Dia:
         shape. Bucketing is semantically inert: EOS is still forced at
         the exact requested ``max_tokens`` (dynamic ``token_limit``),
         batch-padding rows are masked out of the loop's exit condition
-        and sliced off, and text padding carries zero attention weight.
+        and sliced off, text padding carries zero attention weight, and
+        sampling keys are derived per row (fold_in by row index), so a
+        seeded generation draws identical noise at any padded batch size
+        — including at temperature > 0.
         """
         cfg = self.config
         data = cfg.data

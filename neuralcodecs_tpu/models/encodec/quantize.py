@@ -284,7 +284,10 @@ class ResidualVectorQuantizer(Layer):
                                      bandwidth: float | None) -> int:
         bw_per_q = self.bandwidth_per_quantizer(frame_rate)
         if bandwidth is not None and bandwidth > 0:
-            return max(1, int(math.floor(bandwidth * 1000 / bw_per_q)))
+            # clamp to the layers that exist: a generous bandwidth on a
+            # small stack must not request codebooks beyond num_quantizers
+            return min(self.num_quantizers,
+                       max(1, int(math.floor(bandwidth * 1000 / bw_per_q))))
         return self.num_quantizers
 
     # -- encode/decode ---------------------------------------------------------

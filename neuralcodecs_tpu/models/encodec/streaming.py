@@ -17,8 +17,6 @@ normalization, unsegmented model (the 24 kHz preset satisfies all).
 
 from __future__ import annotations
 
-import weakref
-
 import numpy as np
 
 import jax
@@ -26,20 +24,22 @@ import jax.numpy as jnp
 
 from neuralcodecs_tpu.core.exceptions import CodecError
 
-# The per-chunk step functions are pure in (params, chunk, state) — only the
-# carried state is per-session — so their jits are cached per model (and per
-# n_q for the encoder). Without this, every new session (e.g. every TCP
-# connection of cli/stream_serve.py) would retrace and recompile.
-_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
 
 def _model_cache(model) -> dict:
-    try:
-        return _JIT_CACHE[model]
-    except KeyError:
-        cache: dict = {}
-        _JIT_CACHE[model] = cache
-        return cache
+    """Per-model cache of the jitted per-chunk step functions.
+
+    They are pure in (params, chunk, state) — only the carried state is
+    per-session — so caching them per model (and per n_q for the encoder)
+    means new sessions (e.g. every TCP connection of cli/stream_serve.py)
+    never retrace. Stored as an attribute ON the model so the cache dies
+    with the model: a global WeakKeyDictionary cannot work here because the
+    cached closures strongly reference the model they close over, which
+    would keep the weak key alive forever (self-pinning leak)."""
+    cache = getattr(model, "_streaming_jit_cache", None)
+    if cache is None:
+        cache = {}
+        model._streaming_jit_cache = cache
+    return cache
 
 
 def _check_streamable(model) -> None:
@@ -55,20 +55,54 @@ def _check_streamable(model) -> None:
         raise CodecError("streaming applies to unsegmented models")
 
 
+def _decompose(total: int, blocks: tuple[int, ...]) -> list[int]:
+    """Split ``total`` units into a largest-first greedy sequence of block
+    sizes from ``blocks`` (descending, last element 1 so any total is
+    representable)."""
+    out: list[int] = []
+    rem = total
+    for b in blocks:
+        while rem >= b:
+            out.append(b)
+            rem -= b
+    return out
+
+
+def _norm_blocks(block_hops) -> tuple[int, ...] | None:
+    if not block_hops:
+        return None
+    blocks = tuple(sorted({int(h) for h in block_hops if int(h) >= 1},
+                          reverse=True))
+    return blocks if blocks and blocks[-1] == 1 else blocks + (1,)
+
+
 class StreamingEncoder:
     """Chunked audio in -> RVQ codes out, with carried state.
 
     >>> enc = StreamingEncoder(model, n_q=8)
     >>> for chunk in chunks:              # [T] with T % hop_length == 0
     ...     codes = enc.push(chunk)       # [B, n_q, T/hop]
+
+    ``block_hops`` (optional, e.g. ``(8, 1)``) bounds the set of compiled
+    steady-state chunk shapes: after the first push, every chunk is split
+    greedily into sub-steps of those sizes (in hops), so a server
+    accepting arbitrary client chunk sizes compiles a fixed trace set
+    (precompiled by :meth:`warm`) instead of one per distinct client
+    shape. Steady-state decomposition is exact — the carried conv tails
+    make the concatenated sub-step outputs equal the single-chunk
+    outputs. The FIRST push always runs whole: its left padding reflects
+    the chunk's own samples (SConv1d small-input fallback), so splitting
+    it would change boundary content; an unusual first-chunk size
+    therefore pays one lazy compile at session start, never mid-stream.
     """
 
-    def __init__(self, model, n_q: int | None = None):
+    def __init__(self, model, n_q: int | None = None, block_hops=None):
         _check_streamable(model)
         self.model = model
         self.hop = model.encoder.hop_length
         self.n_q = n_q or model.quantizer.num_quantizers_for_bandwidth(
             model.frame_rate, model.bandwidth)
+        self.block_hops = _norm_blocks(block_hops)
         self._state = None
 
         cache = _model_cache(model)
@@ -102,22 +136,52 @@ class StreamingEncoder:
             raise CodecError(
                 f"chunk length {x.shape[1]} must be a multiple of the hop "
                 f"({self.hop})")
+        n_hops = x.shape[1] // self.hop
+        if (self.block_hops is None or self._state is None
+                or n_hops in self.block_hops):
+            return self._push_block(x)
+        outs, off = [], 0
+        for nh in _decompose(n_hops, self.block_hops):
+            outs.append(self._push_block(x[:, off: off + nh * self.hop]))
+            off += nh * self.hop
+        return jnp.concatenate(outs, axis=-1)
+
+    def _push_block(self, x) -> jax.Array:
         if self._state is None:
             codes, self._state = self._first(self.model.params, x)
         else:
             codes, self._state = self._step(self.model.params, x, self._state)
         return codes
 
+    def warm(self) -> None:
+        """Precompile the first-chunk and steady-state traces for every
+        block size (throwaway state; a live session is untouched)."""
+        saved = self._state
+        try:
+            for nh in self.block_hops or (1,):
+                self._state = None
+                z = jnp.zeros((1, nh * self.hop, 1), jnp.float32)
+                self._push_block(z)                       # first-chunk jit
+                jax.block_until_ready(self._push_block(z))  # steady-state jit
+        finally:
+            self._state = saved
+
     def reset(self) -> None:
         self._state = None
 
 
 class StreamingDecoder:
-    """Chunked RVQ codes in -> audio out, with carried state."""
+    """Chunked RVQ codes in -> audio out, with carried state.
 
-    def __init__(self, model):
+    ``block_hops`` works as in :class:`StreamingEncoder`, counted in code
+    frames (1 frame -> ``hop_length`` output samples)."""
+
+    def __init__(self, model, block_hops=None):
         _check_streamable(model)
         self.model = model
+        self.block_hops = _norm_blocks(block_hops)
+        self._default_n_q = model.quantizer.num_quantizers_for_bandwidth(
+            model.frame_rate, model.bandwidth)
         self._state = None
 
         cache = _model_cache(model)
@@ -138,12 +202,38 @@ class StreamingDecoder:
     def push(self, codes) -> jax.Array:
         """codes: [B, n_q, F] -> audio [B, F*hop, channels]."""
         codes = jnp.asarray(codes, jnp.int32)
+        frames = codes.shape[-1]
+        if (self.block_hops is None or self._state is None
+                or frames in self.block_hops):
+            return self._push_block(codes)
+        outs, off = [], 0
+        for nf in _decompose(frames, self.block_hops):
+            outs.append(self._push_block(codes[..., off: off + nf]))
+            off += nf
+        return jnp.concatenate(outs, axis=1)
+
+    def _push_block(self, codes) -> jax.Array:
         if self._state is None:
             audio, self._state = self._first(self.model.params, codes)
         else:
             audio, self._state = self._step(self.model.params, codes,
                                             self._state)
         return audio
+
+    def warm(self, n_q: int | None = None) -> None:
+        """Precompile first + steady traces per block size for one ``n_q``
+        (default: the model bandwidth's). Other ``n_q`` values still
+        compile lazily — there is one trace set per distinct ``n_q``."""
+        n_q = n_q or self._default_n_q
+        saved = self._state
+        try:
+            for nf in self.block_hops or (1,):
+                self._state = None
+                z = jnp.zeros((1, n_q, nf), jnp.int32)
+                self._push_block(z)
+                jax.block_until_ready(self._push_block(z))
+        finally:
+            self._state = saved
 
     def reset(self) -> None:
         self._state = None

@@ -191,3 +191,22 @@ def test_dia_token_and_batch_bucket_equivalent():
     np.testing.assert_array_equal(lb, lk)
     np.testing.assert_array_equal(base, bucketed)
     assert bucketed.shape[0] == 2  # padding rows sliced off
+
+
+def test_dia_batch_bucket_equivalent_when_sampling():
+    """Batch padding must be reproducible at temperature > 0 (the serving
+    default), not just greedy: sampling keys are folded per row index, so
+    a row draws identical noise at any padded batch size — including the
+    degenerate B=1 run of the same prompt."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    texts = ["[S1]hello there", "[S2]ok", "[S1]third"]
+    kw = dict(max_tokens=20, seed=11, temperature=1.3, top_k=8,
+              pad_tokens_to=32, pad_text_to=64)
+    b4, l4 = dia.generate_codes(texts, pad_batch_to=4, **kw)
+    b8, l8 = dia.generate_codes(texts, pad_batch_to=8, **kw)
+    np.testing.assert_array_equal(l4, l8)
+    np.testing.assert_array_equal(b4, b8)
+    solo, ls = dia.generate_codes(texts[:1], pad_batch_to=1, **kw)
+    assert int(ls[0]) == int(l4[0])
+    np.testing.assert_array_equal(solo[0, :, :], b4[0, : solo.shape[1], :])

@@ -70,6 +70,42 @@ def test_streaming_roundtrip_and_reset(rng):
     np.testing.assert_array_equal(c1, c2)
 
 
+def test_streaming_block_decomposition_matches_whole_chunk(rng):
+    """``block_hops`` (the serving shape-bounding path) splits any
+    hop-multiple chunk into a bounded set of compiled block shapes; the
+    emitted codes/audio must match whole-chunk pushes, and ``warm()``
+    must not disturb a live session's carried state."""
+    from neuralcodecs_tpu.models.encodec.streaming import (
+        StreamingDecoder, StreamingEncoder)
+
+    model = Encodec(tiny_config())
+    hop = model.encoder.hop_length
+    audio = (0.3 * rng.standard_normal(hop * 23)).astype(np.float32)
+
+    ref = StreamingEncoder(model)
+    blocked = StreamingEncoder(model, block_hops=(4, 1))
+    # first push runs whole in BOTH (exact-boundary semantics); the second
+    # ragged chunk decomposes as 4+4+4+4 in the blocked session only
+    ref_codes, got_codes = [], []
+    for lo, hi in ((0, hop * 7), (hop * 7, hop * 23)):
+        ref_codes.append(np.asarray(ref.push(audio[lo:hi])))
+        got_codes.append(np.asarray(blocked.push(audio[lo:hi])))
+        blocked.warm()  # mid-session warm must be a no-op for the stream
+    ref_codes = np.concatenate(ref_codes, axis=-1)
+    got_codes = np.concatenate(got_codes, axis=-1)
+    match = (ref_codes == got_codes).mean()
+    assert match > 0.99, f"blocked streaming codes diverged: {match:.4f}"
+
+    # decoder: same first-whole/then-blocked contract, float-equal audio
+    dec_ref = StreamingDecoder(model)
+    dec_blk = StreamingDecoder(model, block_hops=(4, 1))
+    dec_blk.warm()
+    for sl in (slice(0, 7), slice(7, 23)):
+        want = np.asarray(dec_ref.push(ref_codes[..., sl]))
+        got = np.asarray(dec_blk.push(ref_codes[..., sl]))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_streaming_rejects_non_causal():
     from neuralcodecs_tpu.core.exceptions import CodecError
     from neuralcodecs_tpu.models.encodec.streaming import StreamingEncoder
