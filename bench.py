@@ -480,16 +480,18 @@ def main() -> None:
                 "unit": "tokens/s",
                 "vs_baseline": round(tok_s / 40.0, 2),
             }))
-            try:
-                agg = _time_dia(model, batch=8)
-            except Exception as exc:
-                print(f"int8 batch bench skipped: {type(exc).__name__}: {exc}",
-                      file=sys.stderr)
-                if not full:
-                    raise
-            else:
+            for bsz in (8, 16):
+                try:
+                    agg = _time_dia(model, batch=bsz)
+                except Exception as exc:
+                    print(f"int8 batch-{bsz} bench skipped: "
+                          f"{type(exc).__name__}: {exc}", file=sys.stderr)
+                    if not full:
+                        raise
+                    break
                 print(json.dumps({
-                    "metric": "dia_1.6b_int8_batch8_aggregate_tokens_per_s",
+                    "metric": f"dia_1.6b_int8_batch{bsz}"
+                              "_aggregate_tokens_per_s",
                     "value": round(agg, 1),
                     "unit": "tokens/s",
                     "vs_baseline": round(agg / 40.0, 2),
