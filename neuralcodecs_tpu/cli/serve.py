@@ -8,6 +8,7 @@ endpoint around one jitted codec:
 
 Routes (WAV = 16-bit PCM RIFF bytes):
     GET  /healthz            -> {"status": "ok", "codec": ..., "sample_rate": ...}
+    GET  /metrics            -> per-route counts/latency percentiles + batcher stats
     POST /roundtrip          WAV in  -> WAV out (encode+decode)
     POST /encode             WAV in  -> {"codes": [[...]...], "sample_rate": N}
     POST /decode             {"codes": ...} JSON in -> WAV out
@@ -73,6 +74,54 @@ def _array_to_wav(audio: np.ndarray, sr: int) -> bytes:
         f.setframerate(sr)
         f.writeframes(pcm.T.reshape(-1).tobytes())
     return buf.getvalue()
+
+
+class _Metrics:
+    """Thread-safe per-route serving counters (GET /metrics).
+
+    Bounded latency windows (last 512 requests per route) keep a
+    long-lived server's memory flat; percentiles are computed on read.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._t0 = time.monotonic()
+        self._routes: dict = {}
+
+    def record(self, route: str, seconds: float, ok: bool) -> None:
+        with self._lock:
+            r = self._routes.setdefault(
+                route, {"count": 0, "errors": 0,
+                        "lat": collections.deque(maxlen=512)})
+            r["count"] += 1
+            if not ok:
+                r["errors"] += 1
+            r["lat"].append(seconds)
+
+    def snapshot(self, batcher=None) -> dict:
+        with self._lock:
+            routes = {}
+            for name, r in self._routes.items():
+                lat = sorted(r["lat"])
+                routes[name] = {
+                    "count": r["count"],
+                    "errors": r["errors"],
+                    "p50_ms": round(1e3 * lat[len(lat) // 2], 2) if lat else None,
+                    "p95_ms": round(1e3 * lat[int(len(lat) * 0.95)], 2)
+                    if lat else None,
+                    "max_ms": round(1e3 * lat[-1], 2) if lat else None,
+                }
+        out = {"uptime_s": round(time.monotonic() - self._t0, 1),
+               "routes": routes}
+        if batcher is not None:
+            sizes = list(batcher.observed_batches)
+            if sizes:
+                out["batcher"] = {
+                    "batches": len(sizes),
+                    "mean_batch": round(sum(sizes) / len(sizes), 2),
+                    "max_batch_seen": max(sizes),
+                }
+        return out
 
 
 class _MicroBatcher:
@@ -199,6 +248,7 @@ class CodecServer:
         self.model = model
         self.codec_name = codec_name
         self._device_lock = threading.Lock()
+        self.metrics = _Metrics()
         self.batcher = (_MicroBatcher(self, batch_window_ms / 1000.0, max_batch)
                         if batch_window_ms > 0 and codec_name != "dia" else None)
         server = self
@@ -213,6 +263,7 @@ class CodecServer:
                 pass
 
             def _reply(self, code: int, body: bytes, ctype: str) -> None:
+                self._last_status = code
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
@@ -229,10 +280,14 @@ class CodecServer:
                         "codec": server.codec_name,
                         "sample_rate": server.model.config.sample_rate,
                     })
+                elif self.path == "/metrics":
+                    self._reply_json(
+                        200, server.metrics.snapshot(server.batcher))
                 else:
                     self._reply_json(404, {"error": "unknown route"})
 
             def do_POST(self):
+                start = time.monotonic()
                 try:
                     length = int(self.headers.get("Content-Length") or 0)
                     if length <= 0 or length > MAX_BODY_BYTES:
@@ -315,6 +370,10 @@ class CodecServer:
                     self._reply_json(400, {"error": str(exc)})
                 except Exception as exc:  # keep the server alive
                     self._reply_json(500, {"error": f"{type(exc).__name__}: {exc}"})
+                finally:
+                    server.metrics.record(
+                        self.path, time.monotonic() - start,
+                        getattr(self, "_last_status", 500) < 400)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_port

@@ -77,6 +77,38 @@ def test_serve_roundtrip_encode_decode():
         server.shutdown()
 
 
+def test_serve_metrics_route():
+    """GET /metrics reports per-route counts, error counts, and latency
+    percentiles; errors increment the error counter."""
+    server = CodecServer(_tiny_snac(), "snac", port=0, batch_window_ms=5.0)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        body = _wav_bytes()
+        for _ in range(2):
+            conn.request("POST", "/roundtrip", body=body,
+                         headers={"Content-Type": "audio/wav"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        conn.request("POST", "/roundtrip", body=b"not a wav")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        m = json.loads(resp.read())
+        rt = m["routes"]["/roundtrip"]
+        assert rt["count"] == 3 and rt["errors"] == 1
+        assert rt["p50_ms"] is not None and rt["max_ms"] >= rt["p50_ms"]
+        assert m["uptime_s"] >= 0
+        assert m["batcher"]["batches"] >= 2  # two device batches observed
+    finally:
+        server.shutdown()
+
+
 def test_serve_rejects_bad_input():
     server = CodecServer(_tiny_snac(), "snac", port=0)
     server.start_background()
