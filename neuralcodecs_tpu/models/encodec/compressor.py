@@ -86,7 +86,10 @@ def compress(model, audio, use_lm: bool = False, lm=None) -> bytes:
             for step in range(t):
                 probas, state = lm.step(inp, state)
                 inp = codes_np[None, :, step: step + 1] + 1
-                pdf_steps.append(np.asarray(probas)[0, :, :, 0].T)  # [K, card]
+                # the LM predicts for ALL its configured codebooks (32 for
+                # the pretrained 24k LM); keep only the k the model streams,
+                # matching the per-codebook loop of the reference encoder
+                pdf_steps.append(np.asarray(probas)[0, :, :k, 0].T)  # [k, card]
             pdfs = np.concatenate(pdf_steps, axis=0)                # (t,k) order
             cdfs = build_stable_quantized_cdf_batch(pdfs, 24)
             symbols = codes_np.T.reshape(-1)                        # (t,k) order
@@ -159,7 +162,11 @@ def decompress(model, data: bytes, lm=None):
             inp = np.zeros((1, num_codebooks, 1), np.int64)
             for step in range(frame_length):
                 probas, state = lm.step(inp, state)
-                probas_np = np.asarray(probas)[0, :, :, 0]      # [card, K]
+                # slice the LM's codebook heads to the streamed count (the
+                # encode side does the same; a mismatch would desync or
+                # over-read the range coder)
+                probas_np = (np.asarray(probas)
+                             [0, :, :num_codebooks, 0])         # [card, k]
                 cdfs = build_stable_quantized_cdf_batch(probas_np.T, 24)
                 symbols = decoder.pull_many(cdfs)
                 codes_np[:, step] = symbols

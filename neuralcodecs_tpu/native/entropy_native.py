@@ -18,6 +18,11 @@ def encode_symbols(cdfs: np.ndarray, symbols: np.ndarray,
     cdfs = np.ascontiguousarray(cdfs, np.int64)
     symbols = np.ascontiguousarray(symbols, np.int32)
     n, card = cdfs.shape
+    if symbols.shape != (n,):
+        # the C loop reads symbols[0..n): a shorter array would be read out
+        # of bounds (segfault, not an exception) — validate here
+        raise ValueError(
+            f"encode_symbols: {symbols.shape[0]} symbols for {n} cdf rows")
     if lib is None:
         # pure-Python fallback
         import io

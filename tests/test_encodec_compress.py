@@ -102,6 +102,30 @@ def test_compress_roundtrip_lm(rng):
     np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
 
 
+def test_compress_roundtrip_lm_wider_than_stream(rng):
+    """The pretrained 24 kHz LM predicts 32 codebook heads while a 6 kbps
+    stream carries only n_q of them: compress/decompress must slice the
+    LM output to the streamed count (regression: the full pdf matrix fed
+    more cdf rows than symbols into the native coder — a segfault, since
+    the C loop trusted the row count)."""
+    from neuralcodecs_tpu.models.encodec.lm import (EncodecLanguageModel,
+                                                    EncodecLMConfig)
+
+    cfg = tiny_config()
+    model = Encodec(cfg)
+    n_q = model.num_codebooks
+    lm = EncodecLanguageModel(
+        EncodecLMConfig(codebook_size=cfg.codebook_size,
+                        num_codebooks=n_q + 2, dimension=32,
+                        num_heads=2, num_layers=1, past_context=8), seed=3)
+    model.set_language_model(lm)
+    audio = (0.3 * rng.standard_normal(800)).astype(np.float32)
+    blob = model.compress(audio, use_lm=True)
+    out = np.asarray(model.decompress(blob))
+    direct = np.asarray(model.decode(model.encode(audio)))[..., :800]
+    np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+
+
 def test_lm_step_matches_full(rng):
     """Streaming rolling-buffer steps must equal the full-sequence forward."""
     from neuralcodecs_tpu.models.encodec.lm import EncodecLanguageModel, EncodecLMConfig
