@@ -398,10 +398,13 @@ def main() -> None:
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("NC_JAX_CACHE_DIR",
-                                         "/tmp/nc_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        from neuralcodecs_tpu.core.files import default_jax_cache_dir
+
+        cache_dir = os.environ.get("NC_JAX_CACHE_DIR", default_jax_cache_dir())
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
 

@@ -453,7 +453,9 @@ def main(argv=None) -> int:
     # re-tracing multi-minute jits. Opt out with NC_JAX_CACHE_DIR=''.
     # Configured AFTER argparse so --help/zoo/usage errors never pay the
     # jax import (which probes accelerators at import time on TPU hosts).
-    cache_dir = os.environ.get("NC_JAX_CACHE_DIR", "/tmp/nc_jax_cache")
+    from neuralcodecs_tpu.core.files import default_jax_cache_dir
+
+    cache_dir = os.environ.get("NC_JAX_CACHE_DIR", default_jax_cache_dir())
     if cache_dir:
         try:
             import jax

@@ -88,7 +88,14 @@ class _Metrics:
         self._t0 = time.monotonic()
         self._routes: dict = {}
 
+    KNOWN_ROUTES = frozenset(
+        {"/healthz", "/metrics", "/roundtrip", "/encode", "/decode", "/tts"})
+
     def record(self, route: str, seconds: float, ok: bool) -> None:
+        # bucket unknown (attacker-controlled) paths so the route table --
+        # and therefore server memory -- stays bounded
+        if route not in self.KNOWN_ROUTES:
+            route = "<other>"
         with self._lock:
             r = self._routes.setdefault(
                 route, {"count": 0, "errors": 0,
@@ -154,24 +161,37 @@ class _MicroBatcher:
         self.observed_batches: "collections.deque[int]" = collections.deque(
             maxlen=256)
         self._stopped = False
+        # serializes the stopped-check-then-enqueue against stop(): a submit
+        # that passes the check is guaranteed to land AHEAD of the shutdown
+        # sentinel, so its Future is always resolved (served or drain-failed)
+        self._submit_lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, audio: np.ndarray, sr: int) -> Future:
-        if self._stopped:
-            raise RuntimeError("server is shutting down")
+    def submit(self, prepared: np.ndarray) -> Future:
+        """Enqueue an already-prepared (model-rate, model-layout) array.
+
+        Preparation (resample + channel adaptation) happens in the caller's
+        handler thread so concurrent requests prepare in parallel; the one
+        batcher thread only stacks equal-shape arrays and runs the device
+        call.
+        """
         fut: Future = Future()
-        self._q.put((audio, sr, fut))
+        with self._submit_lock:
+            if self._stopped:
+                raise RuntimeError("server is shutting down")
+            self._q.put((prepared, fut))
         return fut
 
     def stop(self) -> None:
-        # flag BEFORE the sentinel: a submit() racing shutdown either raises
-        # immediately or lands ahead of the sentinel and is still served;
-        # anything slipping in after the sentinel is drained and failed below
-        # rather than hanging its Future until the handler timeout
-        self._stopped = True
-        self._q.put(None)
+        # flag + sentinel under the submit lock: a submit() racing shutdown
+        # either raises immediately or lands ahead of the sentinel and is
+        # still served; leftovers are drained and failed below rather than
+        # hanging their Future until the handler timeout
+        with self._submit_lock:
+            self._stopped = True
+            self._q.put(None)
         self._thread.join(timeout=10)
         while True:
             try:
@@ -179,7 +199,7 @@ class _MicroBatcher:
             except queue.Empty:
                 return
             if item is not None:
-                item[2].set_exception(RuntimeError("server is shutting down"))
+                item[1].set_exception(RuntimeError("server is shutting down"))
 
     def _run(self) -> None:
         while True:
@@ -204,12 +224,7 @@ class _MicroBatcher:
 
     def _flush(self, batch: list) -> None:
         groups: dict[tuple, list] = {}
-        for audio, sr, fut in batch:
-            try:
-                x = np.asarray(self.server._prepare_audio(audio, sr))
-            except Exception as exc:  # fail only this request
-                fut.set_exception(exc)
-                continue
+        for x, fut in batch:
             groups.setdefault(x.shape, []).append((x, fut))
         for items in groups.values():
             self._run_group(items)
@@ -267,6 +282,10 @@ class CodecServer:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                if self.close_connection:
+                    # advertise the close (set e.g. on the unread-body 413
+                    # path) so keep-alive clients don't attempt reuse
+                    self.send_header("Connection", "close")
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -291,13 +310,21 @@ class CodecServer:
                 try:
                     length = int(self.headers.get("Content-Length") or 0)
                     if length <= 0 or length > MAX_BODY_BYTES:
+                        # the body is never read, so a keep-alive connection
+                        # would parse its bytes as the next request line --
+                        # force-close instead of desyncing the stream
+                        self.close_connection = True
                         self._reply_json(413, {"error": "bad request size"})
                         return
                     body = self.rfile.read(length)
                     if self.path == "/roundtrip":
                         audio, sr = _wav_to_array(body)
                         if server.batcher is not None:
-                            out = server.batcher.submit(audio, sr).result(
+                            # prepare here (handler thread) so concurrent
+                            # requests resample in parallel; the batcher
+                            # thread only stacks + runs the device call
+                            x = np.asarray(server._prepare_audio(audio, sr))
+                            out = server.batcher.submit(x).result(
                                 timeout=600)
                         else:
                             with server._device_lock:

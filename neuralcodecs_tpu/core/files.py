@@ -133,3 +133,23 @@ def is_shard_index(name: str | Path) -> bool:
     (model.safetensors.index.json / pytorch_model.bin.index.json — the HF
     layout for models too large for one file, e.g. multi-GB Dia weights)."""
     return str(name).endswith(_SHARD_INDEX_SUFFIXES)
+
+
+def default_jax_cache_dir() -> str:
+    """Per-user default for the persistent JAX compilation cache.
+
+    A fixed world-writable path (e.g. /tmp/nc_jax_cache) would let another
+    local user pre-create the directory and plant compiled-executable cache
+    entries (cache poisoning), inconsistent with the SHA-verified model
+    cache posture. Default to XDG cache under the user's home; fall back to
+    a uid-scoped tmp dir when HOME is unusable (bare containers).
+    """
+    import os
+    import tempfile
+
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    if base.startswith("~"):  # expanduser failed: no usable HOME
+        uid = os.getuid() if hasattr(os, "getuid") else "u"
+        base = os.path.join(tempfile.gettempdir(), f"nc_cache_{uid}")
+    return os.path.join(base, "neuralcodecs_tpu", "jax_cache")

@@ -136,10 +136,14 @@ def pick_model_file(names: list[str]) -> str | None:
     # checkpoint — it must never be picked as a standalone file (ADVICE r3:
     # an index-less sharded safetensors upload would otherwise beat a
     # complete pickle shard index with half the weights)
-    piece = re.compile(r"-\d+-of-\d+\.")
+    piece = re.compile(r"-\d+-of-(\d+)\.")
     by_ext: dict[str, list[str]] = {}
     for n in names:
-        if piece.search(n):
+        m = piece.search(n)
+        # an ...-of-00001 "shard" IS the complete checkpoint (single-shard
+        # uploads sometimes ship without the index file) — only multi-piece
+        # fragments are excluded
+        if m and int(m.group(1)) > 1:
             continue
         for ext in _WEIGHT_EXTS:
             if n.lower().endswith(ext):

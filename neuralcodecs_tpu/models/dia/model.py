@@ -251,7 +251,8 @@ class Dia:
         out = np.full((len(token_lists), pad_to), cfg.text_pad_value,
                       np.int64)
         for i, tokens in enumerate(token_lists):
-            out[i, :len(tokens)] = tokens[:pad_to]
+            n = min(len(tokens), pad_to)  # truncate prompts longer than pad_to
+            out[i, :n] = tokens[:n]
         return out
 
     # ------------------------------------------------------------ model parts

@@ -368,13 +368,20 @@ def _lstm_recurrence(gates_x: jax.Array, w_hh: jax.Array,
     except RuntimeError:  # pragma: no cover — uninitialized backend
         pass
     if use_pallas and t > 1:
-        from neuralcodecs_tpu.ops.pallas.lstm import (lstm_pallas_supported,
+        from neuralcodecs_tpu.ops.pallas.lstm import (lstm_pallas_compiles,
+                                                      lstm_pallas_supported,
                                                       lstm_scan_pallas)
 
-        if lstm_pallas_supported(b, four_h // 4):
+        # the shape gate is a cheap pre-filter; the compile probe is the
+        # real guarantee — a Mosaic lowering failure would otherwise only
+        # surface when the ENCLOSING jit compiles, where no except here
+        # could catch it (probe is memoized per shape + persistent cache)
+        if (lstm_pallas_supported(b, four_h // 4)
+                and lstm_pallas_compiles(t, b, four_h, gates_x.dtype,
+                                         w_hh.dtype, h0.dtype)):
             try:
                 return lstm_scan_pallas(gates_x, w_hh, h0, c0)
-            except Exception:  # pragma: no cover — any lowering issue
+            except Exception:  # pragma: no cover — trace-time issues
                 pass
 
     def step(carry, gx):

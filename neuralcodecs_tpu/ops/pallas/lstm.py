@@ -139,3 +139,40 @@ def lstm_pallas_supported(b: int, h: int) -> bool:
     and the lane dim must be 128-aligned for clean tiling."""
     vmem = 4 * h * 4 * h + 4 * (4 * b * 4 * h) + 4 * (4 * b * h)
     return h % 128 == 0 and b <= 256 and vmem < 12 * 1024 * 1024
+
+
+_COMPILE_OK: dict[tuple, bool] = {}
+
+
+def lstm_pallas_compiles(t: int, b: int, four_h: int, dtype,
+                         w_dtype=None, state_dtype=None) -> bool:
+    """One-time-per-shape probe that the kernel actually Mosaic-compiles.
+
+    A try/except around the traced kernel call only catches trace-time
+    errors; a Mosaic lowering failure surfaces when the ENCLOSING jit
+    compiles — outside any caller's except block — so the scan fallback
+    would never trigger. Compiling the kernel standalone here (memoized
+    per shape in-process, and by the persistent JAX compilation cache
+    across processes) makes the fallback real: on a chip where the kernel
+    cannot lower (e.g. smaller VMEM), the probe fails and the caller keeps
+    the XLA scan.
+    """
+    h = four_h // 4
+    w_dtype = dtype if w_dtype is None else w_dtype
+    state_dtype = dtype if state_dtype is None else state_dtype
+    key = (t, b, four_h, jnp.dtype(dtype).name, jnp.dtype(w_dtype).name,
+           jnp.dtype(state_dtype).name)
+    ok = _COMPILE_OK.get(key)
+    if ok is None:
+        try:
+            lstm_scan_pallas.lower(
+                jax.ShapeDtypeStruct((t, b, four_h), dtype),
+                jax.ShapeDtypeStruct((h, four_h), w_dtype),
+                jax.ShapeDtypeStruct((b, h), state_dtype),
+                jax.ShapeDtypeStruct((b, h), state_dtype),
+            ).compile()
+            ok = True
+        except Exception:
+            ok = False
+        _COMPILE_OK[key] = ok
+    return ok

@@ -210,3 +210,16 @@ def test_dia_batch_bucket_equivalent_when_sampling():
     solo, ls = dia.generate_codes(texts[:1], pad_batch_to=1, **kw)
     assert int(ls[0]) == int(l4[0])
     np.testing.assert_array_equal(solo[0, :, :], b4[0, : solo.shape[1], :])
+
+
+def test_dia_pad_text_truncates_long_prompt():
+    """An explicit pad_text_to smaller than a prompt truncates rather than
+    raising a broadcast error (review r3)."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    long_text = "[S1]" + "x" * 100
+    tokens = [dia.encode_text(long_text)]
+    pad_to = len(tokens[0]) // 2  # strictly shorter than the prompt
+    out = dia._pad_text(tokens, pad_to=pad_to)
+    assert out.shape == (1, pad_to)
+    np.testing.assert_array_equal(out[0], tokens[0][:pad_to])

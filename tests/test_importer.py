@@ -218,6 +218,11 @@ def test_pick_model_file_prefers_shard_index():
     assert pick_model_file(
         ["model-00001-of-00002.safetensors", "model-00002-of-00002.safetensors",
          "pytorch_model.bin.index.json"]) == "pytorch_model.bin.index.json"
+    # ...but an -of-00001 "shard" IS the complete checkpoint: an index-less
+    # single-shard upload must still resolve (review r3).
+    assert pick_model_file(
+        ["model-00001-of-00001.safetensors", "config.json"]
+    ) == "model-00001-of-00001.safetensors"
 
 
 def test_sharded_find_config_skips_index(tmp_path):

@@ -368,3 +368,49 @@ def test_serve_tts_batched_route():
         resp.read()
     finally:
         server.shutdown()
+
+
+def test_serve_oversize_body_closes_connection():
+    """A 413 reply never reads the request body, so the server must close
+    the keep-alive connection instead of parsing those bytes as the next
+    request (review r3)."""
+    from neuralcodecs_tpu.cli import serve as serve_mod
+
+    server = CodecServer(_tiny_snac(), "snac", port=0, batch_window_ms=0)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        conn.request("POST", "/roundtrip", body=b"x" * 16, headers={
+            "Content-Length": str(serve_mod.MAX_BODY_BYTES + 1)})
+        resp = conn.getresponse()
+        assert resp.status == 413
+        resp.read()
+        # server signalled close; a fresh connection still serves normally
+        assert resp.getheader("Connection") == "close"
+        conn2 = http.client.HTTPConnection("127.0.0.1", server.port,
+                                           timeout=30)
+        conn2.request("GET", "/healthz")
+        assert conn2.getresponse().status == 200
+    finally:
+        server.shutdown()
+
+
+def test_serve_metrics_route_table_is_bounded():
+    """Unknown request paths share one '<other>' metrics bucket so a client
+    spraying random paths cannot grow server memory (review r3)."""
+    server = CodecServer(_tiny_snac(), "snac", port=0, batch_window_ms=0)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        for i in range(5):
+            conn.request("POST", f"/no-such-route-{i}", body=b"{}")
+            resp = conn.getresponse()
+            assert resp.status == 404
+            resp.read()
+        conn.request("GET", "/metrics")
+        m = json.loads(conn.getresponse().read())
+        assert "<other>" in m["routes"]
+        assert m["routes"]["<other>"]["count"] == 5
+        assert not any(r.startswith("/no-such-route") for r in m["routes"])
+    finally:
+        server.shutdown()
