@@ -294,6 +294,51 @@ def bench_dsp() -> dict:
     return _bench_forward(fwd, {}, a, seconds, iters=5, needs_key=False)
 
 
+def bench_ecdc_lm(seconds: float = 2.0, batch: int = 16) -> dict:
+    """LM + arithmetic-coding .ecdc throughput, single vs batched streams.
+
+    The LM loop is serial per timestep, so each step pays one device
+    dispatch (~29 ms tunnel RTT here); batching B independent streams into
+    each step's LM call amortizes that dispatch B ways (compressor.py
+    batched LM coding). Uses a random-init pretrained-shape LM — wall time
+    is weight-independent."""
+    import time
+
+    from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
+    from neuralcodecs_tpu.models.encodec.lm import (EncodecLanguageModel,
+                                                    EncodecLMConfig)
+
+    model = Encodec(EncodecConfig.encodec_24khz())
+    model.set_target_bandwidth(6.0)
+    model.set_language_model(EncodecLanguageModel(EncodecLMConfig(), seed=0))
+    sr = model.config.sample_rate
+    rng = np.random.default_rng(0)
+    audios = [0.25 * rng.standard_normal(int(sr * seconds)).astype(np.float32)
+              for _ in range(batch)]
+
+    # warm both executable batch shapes (1 and `batch`)
+    model.compress(audios[0][: sr // 4], use_lm=True)
+    model.compress_batch([a[: sr // 4] for a in audios], use_lm=True,
+                         lm_batch=batch)
+
+    t0 = time.monotonic()
+    blob = model.compress(audios[0], use_lm=True)
+    single_wall = time.monotonic() - t0
+    t0 = time.monotonic()
+    blobs = model.compress_batch(audios, use_lm=True, lm_batch=batch)
+    batch_wall = time.monotonic() - t0
+    t0 = time.monotonic()
+    model.decompress_batch(blobs)
+    dec_wall = time.monotonic() - t0
+    _ = blob
+    return {
+        "single_xrt": seconds / single_wall,
+        "batch_aggregate_xrt": batch * seconds / batch_wall,
+        "batch_decode_aggregate_xrt": batch * seconds / dec_wall,
+        "scaling": (batch * seconds / batch_wall) / (seconds / single_wall),
+    }
+
+
 def _make_dia(int8: bool):
     import jax.numpy as jnp
 
@@ -410,7 +455,7 @@ def main() -> None:
 
     filter_flags = {"--snac", "--dac", "--enc24", "--enc48", "--dsp",
                     "--dia", "--aggregate", "--all"}
-    optin_flags = {"--bf16", "--mixed", "--int8", "--dia-batch"}
+    optin_flags = {"--bf16", "--mixed", "--int8", "--dia-batch", "--ecdc"}
     given = filter_flags & set(sys.argv[1:])
     # an opt-in flag alone must NOT trigger the full default suite
     full = (not given and not (optin_flags & set(sys.argv[1:]))) \
@@ -515,6 +560,29 @@ def main() -> None:
                     "vs_baseline": round(agg / 40.0, 2),
                     "scaling_vs_b1": round(agg / b1, 2),
                 }))
+    if "--ecdc" in sys.argv:
+        # LM-coded .ecdc throughput, single stream vs batched LM loop
+        stats = bench_ecdc_lm()
+        print(json.dumps({
+            "metric": "ecdc_lm_compress_xRT",
+            "value": round(stats["single_xrt"], 2),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(stats["single_xrt"] / 500.0, 3),
+        }))
+        print(json.dumps({
+            "metric": "ecdc_lm_batch16_compress_aggregate_xRT",
+            "value": round(stats["batch_aggregate_xrt"], 2),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(stats["batch_aggregate_xrt"] / 500.0, 3),
+            "scaling_vs_single": round(stats["scaling"], 2),
+        }))
+        print(json.dumps({
+            "metric": "ecdc_lm_batch16_decompress_aggregate_xRT",
+            "value": round(stats["batch_decode_aggregate_xrt"], 2),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(
+                stats["batch_decode_aggregate_xrt"] / 500.0, 3),
+        }))
     if full:
         # last line, fail-silent: real published-weights round-trip, only
         # possible when the bench environment has network egress

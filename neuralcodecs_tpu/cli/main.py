@@ -137,7 +137,8 @@ def cmd_compress(args) -> int:
     if audio.shape[0] != model.config.channels:
         audio = np.broadcast_to(audio.mean(0, keepdims=True),
                                 (model.config.channels, audio.shape[1]))
-    blob = model.compress(audio, use_lm=args.lm)
+    blob = model.compress(audio, use_lm=args.lm,
+                          lm_batch=getattr(args, "lm_batch", 1) or 1)
     Path(args.output).write_bytes(blob)
     raw_bytes = audio.size * 2
     print(json.dumps({"bytes": len(blob), "ratio": raw_bytes / len(blob),
@@ -367,6 +368,9 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--preset")
     cp.add_argument("--bandwidth", type=float)
     cp.add_argument("--lm", action="store_true", help="use the LM entropy coder")
+    cp.add_argument("--lm-batch", type=int, default=1,
+                    help="batch this many frames per LM step (segmented "
+                         "streams); recorded in the header for exact decode")
     cp.set_defaults(fn=cmd_compress, operation="encoding")
 
     dc = sub.add_parser("decompress", help="decompress .ecdc to WAV")

@@ -335,16 +335,31 @@ class Encodec:
 
     # ---- compression entry points (ecdc) ------------------------------------
 
-    def compress(self, audio, use_lm: bool = False, lm=None) -> bytes:
+    def compress(self, audio, use_lm: bool = False, lm=None,
+                 lm_batch: int = 1) -> bytes:
         """Compress audio to the .ecdc container format."""
         from neuralcodecs_tpu.models.encodec.compressor import compress
 
-        return compress(self, audio, use_lm=use_lm, lm=lm)
+        return compress(self, audio, use_lm=use_lm, lm=lm, lm_batch=lm_batch)
+
+    def compress_batch(self, audios, use_lm: bool = False, lm=None,
+                       lm_batch: int | None = None) -> list[bytes]:
+        """Compress independent waveforms, sharing each LM step's device
+        dispatch across streams (see compressor.compress_batch)."""
+        from neuralcodecs_tpu.models.encodec.compressor import compress_batch
+
+        return compress_batch(self, audios, use_lm=use_lm, lm=lm,
+                              lm_batch=lm_batch)
 
     def decompress(self, data: bytes, lm=None) -> jax.Array:
         from neuralcodecs_tpu.models.encodec.compressor import decompress
 
         return decompress(self, data, lm=lm)
+
+    def decompress_batch(self, blobs, lm=None) -> list:
+        from neuralcodecs_tpu.models.encodec.compressor import decompress_batch
+
+        return decompress_batch(self, blobs, lm=lm)
 
 
 def _factory(config: EncodecConfig, **kwargs) -> Encodec:

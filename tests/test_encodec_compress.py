@@ -308,3 +308,115 @@ def test_decompress_rejects_garbage(rng):
         with pytest.raises(Exception) as exc_info:
             model.decompress(blob)
         assert not isinstance(exc_info.value, (KeyError, IndexError))
+
+
+def test_lm_step_row_locality(rng):
+    """The batched-LM format guarantee rests on row-locality: at a FIXED
+    executable batch shape, each row's output depends only on that row's
+    inputs (every LM op is row-local), so rows are interchangeable and
+    padding rows are inert. Pin it: permuting rows permutes outputs
+    bit-exactly, and replacing co-rows with zeros leaves a row unchanged."""
+    from neuralcodecs_tpu.models.encodec.lm import (EncodecLanguageModel,
+                                                    EncodecLMConfig)
+
+    cfg = EncodecLMConfig(codebook_size=16, num_codebooks=3, dimension=32,
+                          num_heads=2, num_layers=2, past_context=8)
+    lm = EncodecLanguageModel(cfg, seed=1)
+    b, k, t = 4, 3, 5
+    seq = rng.integers(0, 17, size=(b, k, t))
+
+    def run(rows_src):
+        state = lm.init_state(b)
+        inp = np.zeros((b, k, 1), np.int64)
+        outs = []
+        for step in range(t):
+            probas, state = lm.step(inp, state)
+            outs.append(np.asarray(probas))
+            inp = np.stack([rows_src[r][:, step:step + 1] for r in range(b)])
+        return np.stack(outs)
+
+    base = run([seq[i] for i in range(b)])
+    perm = [2, 0, 3, 1]
+    permuted = run([seq[p] for p in perm])
+    for i, p in enumerate(perm):
+        np.testing.assert_array_equal(permuted[:, i], base[:, p])
+    zeros = np.zeros((k, t), np.int64)
+    padded = run([seq[0], zeros, zeros, zeros])
+    np.testing.assert_array_equal(padded[:, 0], base[:, 0])
+
+
+def test_compress_batch_lm_roundtrip(rng):
+    """Batched LM compression: blobs decode individually (the decoder
+    replays the loop at the recorded executable batch shape with padding
+    rows) and via decompress_batch, both matching the direct codes."""
+    cfg = tiny_config()
+    model = Encodec(cfg)
+    lm = model.get_language_model(download=False)
+    audios = [(0.3 * rng.standard_normal(n)).astype(np.float32)
+              for n in (800, 640, 800)]
+    blobs = model.compress_batch(audios, use_lm=True, lm=lm)
+    assert len(blobs) == 3
+    header = ecdc.read_header(io.BytesIO(blobs[0]))
+    assert header["lmb"] == 4  # next pow2 of 3 entries
+    for blob, audio in zip(blobs, audios):
+        out = np.asarray(model.decompress(blob, lm=lm))
+        direct = np.asarray(model.decode(model.encode(audio)))
+        np.testing.assert_allclose(out, direct[..., :len(audio)],
+                                   rtol=1e-5, atol=1e-6)
+    outs = model.decompress_batch(blobs, lm=lm)
+    for out_b, blob in zip(outs, blobs):
+        np.testing.assert_array_equal(np.asarray(out_b),
+                                      np.asarray(model.decompress(blob, lm=lm)))
+
+
+def test_compress_lm_frame_batched_chunked(rng):
+    """lm_batch > 1 on a single segmented stream batches its own frames
+    through the LM loop; round-trip stays exact."""
+    cfg = tiny_config(chunk_length_s=0.05, overlap=0.01,
+                      use_causal_conv=False)
+    model = Encodec(cfg)
+    lm = model.get_language_model(download=False)
+    audio = (0.3 * rng.standard_normal(1800)).astype(np.float32)
+    blob = model.compress(audio, use_lm=True, lm=lm, lm_batch=4)
+    header = ecdc.read_header(io.BytesIO(blob))
+    assert header["lmb"] == 4 and header["lp"]
+    out = np.asarray(model.decompress(blob, lm=lm))
+    direct = np.asarray(model.decode(model.encode(audio)))[..., :1800]
+    np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+    # batched decode of one multi-frame blob shares steps across frames too
+    out_b = np.asarray(model.decompress_batch([blob], lm=lm)[0])
+    np.testing.assert_array_equal(out_b, out)
+
+
+def test_compress_batch_bitpacking_matches_single(rng):
+    """Without the LM the batch API is pure convenience: bytes identical."""
+    cfg = tiny_config()
+    model = Encodec(cfg)
+    audios = [(0.3 * rng.standard_normal(800)).astype(np.float32)
+              for _ in range(2)]
+    blobs = model.compress_batch(audios, use_lm=False)
+    for blob, audio in zip(blobs, audios):
+        assert blob == model.compress(audio, use_lm=False)
+    outs = model.decompress_batch(blobs)
+    for out_b, blob in zip(outs, blobs):
+        np.testing.assert_array_equal(np.asarray(out_b),
+                                      np.asarray(model.decompress(blob)))
+
+
+def test_decompress_batch_mixed_bandwidths(rng):
+    """decompress_batch groups LM frames by (executable shape, n_q):
+    blobs compressed at different bandwidths (different code counts)
+    decode together correctly."""
+    cfg = tiny_config()
+    model = Encodec(cfg)
+    lm = model.get_language_model(download=False)
+    a1 = (0.3 * rng.standard_normal(800)).astype(np.float32)
+    a2 = (0.3 * rng.standard_normal(640)).astype(np.float32)
+    model.set_target_bandwidth(20.0)
+    b1 = model.compress(a1, use_lm=True, lm=lm)
+    model.set_target_bandwidth(80.0)
+    b2 = model.compress(a2, use_lm=True, lm=lm)
+    refs = [np.asarray(model.decompress(b, lm=lm)) for b in (b1, b2)]
+    outs = model.decompress_batch([b1, b2], lm=lm)
+    for out_b, ref in zip(outs, refs):
+        np.testing.assert_array_equal(np.asarray(out_b), ref)
