@@ -89,7 +89,8 @@ class _Metrics:
         self._routes: dict = {}
 
     KNOWN_ROUTES = frozenset(
-        {"/healthz", "/metrics", "/roundtrip", "/encode", "/decode", "/tts"})
+        {"/healthz", "/metrics", "/roundtrip", "/encode", "/decode", "/tts",
+         "/compress", "/decompress"})
 
     def record(self, route: str, seconds: float, ok: bool) -> None:
         # bucket unknown (attacker-controlled) paths so the route table --
@@ -348,6 +349,29 @@ class CodecServer:
                                                 payload.get("scales"))
                         self._reply(200, _array_to_wav(
                             out, server.model.config.sample_rate), "audio/wav")
+                    elif (self.path.split("?", 1)[0] == "/compress"
+                          and server.codec_name == "encodec"):
+                        # WAV in -> .ecdc container out; ?lm=1 selects the
+                        # LM entropy coder (requires a loaded LM), ?lm_batch=N
+                        # batches a segmented stream's frames per LM step
+                        from urllib.parse import parse_qs, urlparse
+
+                        q = parse_qs(urlparse(self.path).query)
+                        use_lm = q.get("lm", ["0"])[0] in ("1", "true")
+                        lm_batch = int(q.get("lm_batch", ["1"])[0])
+                        audio, sr = _wav_to_array(body)
+                        x = server._prepare_audio(audio, sr)
+                        with server._device_lock:
+                            blob = server.model.compress(
+                                x, use_lm=use_lm, lm_batch=lm_batch)
+                        self._reply(200, blob, "application/octet-stream")
+                    elif (self.path == "/decompress"
+                          and server.codec_name == "encodec"):
+                        with server._device_lock:
+                            out = np.asarray(server.model.decompress(body))
+                        self._reply(200, _array_to_wav(
+                            out[0], server.model.config.sample_rate),
+                            "audio/wav")
                     elif self.path == "/tts" and server.codec_name == "dia":
                         payload = json.loads(body)
                         max_tokens = payload.get("max_tokens")
@@ -396,10 +420,16 @@ class CodecServer:
                         wave.Error) as exc:
                     self._reply_json(400, {"error": str(exc)})
                 except Exception as exc:  # keep the server alive
-                    self._reply_json(500, {"error": f"{type(exc).__name__}: {exc}"})
+                    from neuralcodecs_tpu.core.exceptions import (
+                        NeuralCodecError,
+                    )
+
+                    code = 400 if isinstance(exc, NeuralCodecError) else 500
+                    self._reply_json(
+                        code, {"error": f"{type(exc).__name__}: {exc}"})
                 finally:
                     server.metrics.record(
-                        self.path, time.monotonic() - start,
+                        self.path.split("?", 1)[0], time.monotonic() - start,
                         getattr(self, "_last_status", 500) < 400)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)

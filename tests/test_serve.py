@@ -414,3 +414,49 @@ def test_serve_metrics_route_table_is_bounded():
         assert not any(r.startswith("/no-such-route") for r in m["routes"])
     finally:
         server.shutdown()
+
+
+def test_serve_compress_decompress_routes():
+    """POST /compress (WAV -> .ecdc) and /decompress (.ecdc -> WAV) on an
+    Encodec server; the returned container decodes to the same bytes the
+    model produces directly."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_encodec import tiny_config
+
+    from neuralcodecs_tpu.models.encodec import Encodec
+
+    model = Encodec(tiny_config())
+    server = CodecServer(model, "encodec", port=0, batch_window_ms=0)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=120)
+        sr = model.config.sample_rate
+        t = np.arange(sr // 8) / sr
+        tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        body = _array_to_wav(tone, sr)
+
+        conn.request("POST", "/compress", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        blob = resp.read()
+        assert blob[:4] == b"ECDC"
+
+        conn.request("POST", "/decompress", body=blob)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with wave.open(io.BytesIO(resp.read())) as f:
+            served = np.frombuffer(f.readframes(f.getnframes()),
+                                   dtype="<i2")
+        direct = np.asarray(model.decompress(model.compress(tone)))[0, 0, :]
+        expect = (np.clip(direct, -1, 1) * 32767.0).astype("<i2")
+        np.testing.assert_array_equal(served, expect[: len(served)])
+
+        # malformed container -> 400, not a 500 or a dead server
+        conn.request("POST", "/decompress", body=b"not an ecdc stream")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+    finally:
+        server.shutdown()
