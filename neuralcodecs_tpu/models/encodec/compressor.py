@@ -72,26 +72,38 @@ def _lm_encode_entries(lm, entries: list[np.ndarray], lmb: int) -> list[bytes]:
     if any(c.shape[0] != k for c in entries):
         raise CodecError("All streams in one batch must share n_q")
     payloads: list[bytes] = []
+    # Encoding is teacher-forced: every step's LM input comes from the KNOWN
+    # codes, not from the previous step's output — so the whole step chain
+    # can be dispatched ahead of the fetches. JAX's async dispatch pipelines
+    # the device work; fetching through a small sliding window (rather than
+    # all-at-end) bounds device-side probas accumulation and keeps one fetch
+    # in flight, which remote-tunnel transports need for steady throughput.
+    fetch_window = 8
     for g0 in range(0, len(entries), lmb):
         group = entries[g0:g0 + lmb]
         max_t = max(c.shape[1] for c in group)
         state = lm.init_state(lmb)
         inp = np.zeros((lmb, k, 1), np.int64)
-        pdf_acc: list[list[np.ndarray]] = [[] for _ in group]
+        pending: list = []
+        fetched: list[np.ndarray] = []
         for step in range(max_t):
             probas, state = lm.step(inp, state)
             # the LM predicts for ALL its configured codebooks (32 for the
             # pretrained 24k LM); keep only the k the model streams,
             # matching the per-codebook loop of the reference encoder
-            p = np.asarray(probas)[:, :, :k, 0]              # [lmb, card, k]
+            pending.append(probas[:, :, :k, 0])              # [lmb, card, k]
+            if len(pending) > fetch_window:
+                fetched.append(np.asarray(pending.pop(0)))
             nxt = np.zeros((lmb, k, 1), np.int64)
             for j, codes in enumerate(group):
                 if step < codes.shape[1]:
-                    pdf_acc[j].append(p[j].T)                # [k, card]
                     nxt[j] = codes[:, step:step + 1] + 1
             inp = nxt
+        fetched.extend(np.asarray(p) for p in pending)
         for j, codes in enumerate(group):
-            pdfs = np.concatenate(pdf_acc[j], axis=0)        # (t,k) order
+            t_j = codes.shape[1]
+            pdfs = np.concatenate([fetched[t][j].T for t in range(t_j)],
+                                  axis=0)                    # (t,k) order
             cdfs = build_stable_quantized_cdf_batch(pdfs, 24)
             payloads.append(encode_symbols(cdfs, codes.T.reshape(-1), 24))
     return payloads
