@@ -386,7 +386,17 @@ def _lstm_recurrence(gates_x: jax.Array, w_hh: jax.Array,
 
     def step(carry, gx):
         h_prev, c_prev = carry
-        gates = gx + jnp.dot(h_prev, w_hh, preferred_element_type=gx.dtype)
+        # HIGH (3-pass bf16): at B>=4 XLA tiles this dot onto the MXU,
+        # where DEFAULT means one bf16 pass (~4e-3 drift over a 150-step
+        # recurrence vs f64, measured in tests_tpu) — far below the HIGH
+        # policy the rest of the f32 model runs at (ops/conv.py). The dot
+        # is tiny and the scan is latency-bound, so the extra passes are
+        # free. (B=1 lowers to a full-f32 VPU matvec either way; CPU is
+        # always exact f32.)
+        prec = (jax.lax.Precision.HIGH if gx.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        gates = gx + jnp.dot(h_prev, w_hh, preferred_element_type=gx.dtype,
+                             precision=prec)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)

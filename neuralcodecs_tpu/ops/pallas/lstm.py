@@ -47,14 +47,27 @@ def _kernel(gx_ref, whh_ref, h0_ref, c0_ref, ys_ref, hf_ref, cf_ref,
         h_s[:] = h0_ref[:].astype(jnp.float32)
         c_s[:] = c0_ref[:].astype(jnp.float32)
 
+    # Hand-rolled 3-pass bf16 dot (Precision.HIGH, the model's f32 matmul
+    # policy per ops/conv.py): Mosaic only lowers DEFAULT/HIGHEST, DEFAULT
+    # is a single bf16 pass (~70x farther from the f64 truth than XLA's
+    # B=1 VPU matvec over a 150-step recurrence — tests_tpu parity), and
+    # HIGHEST's 6-pass emulation overflows scoped VMEM at this weight
+    # size. The weight hi/lo split happens once per grid step (Mosaic does
+    # not fold the bf16(w - f32(bf16(w))) residual the way XLA does).
     w = whh_ref[:].astype(jnp.float32)
+    w_hi = w.astype(jnp.bfloat16)
+    w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     hdim = h_s.shape[-1]
     tb = ys_ref.shape[0]
 
     def step(t, carry):
         h_prev, c_prev = carry
-        gates = gx_ref[t].astype(jnp.float32) + jnp.dot(
-            h_prev, w, preferred_element_type=jnp.float32)   # [B, 4H]
+        h_hi = h_prev.astype(jnp.bfloat16)
+        h_lo = (h_prev - h_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        gates = (gx_ref[t].astype(jnp.float32)
+                 + dot(h_hi, w_hi) + dot(h_lo, w_hi)
+                 + dot(h_hi, w_lo))                          # [B, 4H]
         i = jax.nn.sigmoid(gates[:, 0 * hdim:1 * hdim])
         f = jax.nn.sigmoid(gates[:, 1 * hdim:2 * hdim])
         g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
@@ -135,9 +148,10 @@ def lstm_scan_pallas(gates_x: jax.Array, w_hh: jax.Array,
 
 
 def lstm_pallas_supported(b: int, h: int) -> bool:
-    """Shape gate: the weight + per-step blocks must fit VMEM comfortably
-    and the lane dim must be 128-aligned for clean tiling."""
-    vmem = 4 * h * 4 * h + 4 * (4 * b * 4 * h) + 4 * (4 * b * h)
+    """Shape gate: the weight (f32 + its bf16 hi/lo 3-pass splits) and the
+    per-step blocks must fit VMEM comfortably, and the lane dim must be
+    128-aligned for clean tiling."""
+    vmem = (4 + 2 + 2) * h * 4 * h + 4 * (4 * b * 4 * h) + 4 * (4 * b * h)
     return h % 128 == 0 and b <= 256 and vmem < 12 * 1024 * 1024
 
 
