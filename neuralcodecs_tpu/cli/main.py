@@ -137,8 +137,7 @@ def cmd_compress(args) -> int:
     if audio.shape[0] != model.config.channels:
         audio = np.broadcast_to(audio.mean(0, keepdims=True),
                                 (model.config.channels, audio.shape[1]))
-    blob = model.compress(audio, use_lm=args.lm,
-                          lm_batch=getattr(args, "lm_batch", 1) or 1)
+    blob = model.compress(audio, use_lm=args.lm, lm_batch=args.lm_batch)
     Path(args.output).write_bytes(blob)
     raw_bytes = audio.size * 2
     print(json.dumps({"bytes": len(blob), "ratio": raw_bytes / len(blob),

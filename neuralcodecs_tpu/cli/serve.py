@@ -39,6 +39,26 @@ import numpy as np
 
 MAX_BODY_BYTES = 256 * 1024 * 1024  # ~25 min of 16-bit 48 kHz stereo
 
+# ceiling on the client-supplied ?lm_batch= (each row costs ~1 MB of LM
+# state plus per-step host work, all while holding the device lock);
+# tighter than the library's own MAX_LM_BATCH format bound
+MAX_SERVE_LM_BATCH = 16
+
+
+def _ecdc_needs_lm(blob: bytes) -> bool:
+    """Header-only peek: does this .ecdc stream need the language model?
+
+    Used to resolve (and possibly download) the LM before taking the
+    device lock; parse errors return False and surface later in the real
+    decode path with a proper 400.
+    """
+    try:
+        from neuralcodecs_tpu.models.encodec import ecdc
+
+        return bool(ecdc.read_header(io.BytesIO(blob)).get("lm"))
+    except Exception:
+        return False
+
 
 def _wav_to_array(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (audio [C, T] float32, sample_rate)."""
@@ -359,16 +379,32 @@ class CodecServer:
                         q = parse_qs(urlparse(self.path).query)
                         use_lm = q.get("lm", ["0"])[0] in ("1", "true")
                         lm_batch = int(q.get("lm_batch", ["1"])[0])
+                        if not 1 <= lm_batch <= MAX_SERVE_LM_BATCH:
+                            raise ValueError(
+                                f"lm_batch must be in [1, "
+                                f"{MAX_SERVE_LM_BATCH}], got {lm_batch}")
                         audio, sr = _wav_to_array(body)
                         x = server._prepare_audio(audio, sr)
+                        # resolve the LM BEFORE taking the device lock: the
+                        # first use may build (or download) weights, and that
+                        # must not stall every other route on the server
+                        lm = (server.model.get_language_model()
+                              if use_lm else None)
                         with server._device_lock:
                             blob = server.model.compress(
-                                x, use_lm=use_lm, lm_batch=lm_batch)
+                                x, use_lm=use_lm, lm=lm, lm_batch=lm_batch)
                         self._reply(200, blob, "application/octet-stream")
-                    elif (self.path == "/decompress"
+                    elif (self.path.split("?", 1)[0] == "/decompress"
                           and server.codec_name == "encodec"):
+                        # peek the header outside the lock so an LM stream's
+                        # first request resolves/downloads the LM without
+                        # blocking other routes (same reason as /compress)
+                        lm = None
+                        if _ecdc_needs_lm(body):
+                            lm = server.model.get_language_model()
                         with server._device_lock:
-                            out = np.asarray(server.model.decompress(body))
+                            out = np.asarray(
+                                server.model.decompress(body, lm=lm))
                         self._reply(200, _array_to_wav(
                             out[0], server.model.config.sample_rate),
                             "audio/wav")

@@ -45,6 +45,26 @@ from neuralcodecs_tpu.models.encodec.entropy import (
 # host work (CDF build + range coding) outweighs the amortized dispatch
 DEFAULT_MAX_LM_BATCH = 16
 
+# hard ceiling on the executable LM batch shape, enforced symmetrically on
+# encode (so every stream the library writes is one it will read back) and
+# on decode (where "lmb" arrives from an untrusted header and sizes
+# lm.init_state / per-step buffers — ~1 MB of LM state per row for the
+# pretrained 24 kHz LM, so an unbounded value is a memory-exhaustion vector)
+MAX_LM_BATCH = 64
+
+
+def _lmb_from_metadata(metadata) -> int:
+    """Validated executable LM batch shape from an untrusted .ecdc header."""
+    raw = metadata.get("lmb", 1)
+    try:
+        lmb = int(raw)
+    except (TypeError, ValueError):
+        raise CodecError(f"Invalid 'lmb' in stream header: {raw!r}")
+    if not 1 <= lmb <= MAX_LM_BATCH:
+        raise CodecError(
+            f"'lmb' in stream header out of range [1, {MAX_LM_BATCH}]: {lmb}")
+    return lmb
+
 
 def _model_name(model) -> str:
     return f"encodec_{model.config.sample_rate // 1000}khz"
@@ -132,10 +152,12 @@ def _lm_decode_entries(lm, payloads: list[bytes], lengths: list[int],
         max_t = max(lengths[i] for i in idxs)
         for step in range(max_t):
             probas, state = lm.step(inp, state)
-            # slice the LM's codebook heads to the streamed count (the
-            # encode side does the same; a mismatch would desync or
-            # over-read the range coder)
-            p = np.asarray(probas)[:, :, :k, 0]              # [lmb, card, k]
+            # slice the LM's codebook heads to the streamed count ON DEVICE
+            # before fetching (the pretrained 24k LM predicts 32 heads; a
+            # 6 kbps stream carries 8 — fetching the full tensor would move
+            # 4x the bytes on this serial, transfer-bound loop). A slice
+            # mismatch vs encode would desync or over-read the range coder.
+            p = np.asarray(probas[:, :, :k, 0])              # [lmb, card, k]
             nxt = np.zeros((lmb, k, 1), np.int64)
             for j, i in enumerate(idxs):
                 if step < lengths[i]:
@@ -235,6 +257,8 @@ def compress_batch(model, audios, use_lm: bool = False, lm=None,
     entry is in flight.
     """
     xs = [_check_input(model, a) for a in audios]
+    if not xs:
+        return []
     if use_lm and lm is None:
         lm = model.get_language_model()
 
@@ -251,8 +275,9 @@ def compress_batch(model, audios, use_lm: bool = False, lm=None,
     if lm_batch is None:
         lm_batch = (min(_next_pow2(len(entries)), DEFAULT_MAX_LM_BATCH)
                     if len(entries) > 1 else 1)
-    if lm_batch < 1:
-        raise CodecError(f"lm_batch must be >= 1, got {lm_batch}")
+    if not 1 <= lm_batch <= MAX_LM_BATCH:
+        raise CodecError(
+            f"lm_batch must be in [1, {MAX_LM_BATCH}], got {lm_batch}")
     # The pdf stream MUST be computed with the exact same op sequence the
     # decoder will use (CDF quantization amplifies any numeric difference
     # into a corrupted stream), so encode walks the same jitted LM step
@@ -333,7 +358,7 @@ def decompress(model, data: bytes, lm=None):
         return _assemble_audio(model, metadata, frame_meta, payloads)
     if lm is None:
         lm = model.get_language_model()
-    lmb = int(metadata.get("lmb", 1))
+    lmb = _lmb_from_metadata(metadata)
     k = int(metadata["nc"])
     codes_list = _lm_decode_entries(
         lm, payloads, [fl for fl, _ in frame_meta], k, lmb)
@@ -357,7 +382,7 @@ def decompress_batch(model, blobs, lm=None) -> list:
     for bi, (metadata, frame_meta, payloads) in enumerate(parsed):
         if not bool(metadata["lm"]):
             continue
-        key = (int(metadata.get("lmb", 1)), int(metadata["nc"]))
+        key = (_lmb_from_metadata(metadata), int(metadata["nc"]))
         for fi in range(len(frame_meta)):
             groups.setdefault(key, []).append((bi, fi))
     decoded: dict[tuple[int, int], np.ndarray] = {}

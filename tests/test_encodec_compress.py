@@ -420,3 +420,53 @@ def test_decompress_batch_mixed_bandwidths(rng):
     outs = model.decompress_batch([b1, b2], lm=lm)
     for out_b, ref in zip(outs, refs):
         np.testing.assert_array_equal(np.asarray(out_b), ref)
+
+
+def _rewrite_header(blob: bytes, **updates) -> bytes:
+    """Re-emit a .ecdc blob with mutated header fields (tamper helper)."""
+    stream = io.BytesIO(blob)
+    metadata = ecdc.read_header(stream)
+    metadata.update(updates)
+    out = io.BytesIO()
+    ecdc.write_header(out, metadata)
+    out.write(stream.read())
+    return out.getvalue()
+
+
+def test_decompress_rejects_bad_lmb(rng):
+    """'lmb' arrives from an untrusted header and sizes the decoder's
+    allocations: out-of-range or non-numeric values must raise CodecError
+    (not decode to silence, not attempt a giant allocation)."""
+    from neuralcodecs_tpu.core.exceptions import CodecError
+
+    model = Encodec(tiny_config())
+    lm = model.get_language_model(download=False)
+    audio = (0.3 * rng.standard_normal(800)).astype(np.float32)
+    blob = model.compress(audio, use_lm=True, lm=lm)
+    for bad in (-1, 0, 10**9, "abc", None):
+        tampered = _rewrite_header(blob, lmb=bad)
+        with pytest.raises(CodecError):
+            model.decompress(tampered, lm=lm)
+        with pytest.raises(CodecError):
+            model.decompress_batch([tampered], lm=lm)
+
+
+def test_compress_lm_batch_bounds(rng):
+    """Explicit lm_batch outside [1, MAX_LM_BATCH] is a CodecError on the
+    encode side too (symmetric with the decode-side header bound, so the
+    library never writes a stream it would refuse to read)."""
+    from neuralcodecs_tpu.core.exceptions import CodecError
+    from neuralcodecs_tpu.models.encodec.compressor import MAX_LM_BATCH
+
+    model = Encodec(tiny_config())
+    lm = model.get_language_model(download=False)
+    audio = (0.3 * rng.standard_normal(800)).astype(np.float32)
+    for bad in (0, -4, MAX_LM_BATCH + 1):
+        with pytest.raises(CodecError):
+            model.compress(audio, use_lm=True, lm=lm, lm_batch=bad)
+
+
+def test_compress_batch_empty_returns_empty():
+    model = Encodec(tiny_config())
+    assert model.compress_batch([], use_lm=False) == []
+    assert model.compress_batch([], use_lm=True) == []

@@ -458,5 +458,22 @@ def test_serve_compress_decompress_routes():
         resp = conn.getresponse()
         assert resp.status == 400
         resp.read()
+
+        # query strings must not break route matching (parity w/ /compress)
+        conn.request("POST", "/decompress?fmt=wav", body=blob)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+
+        # client-supplied lm_batch is bounded: a huge value must 400
+        # instead of sizing allocations while holding the device lock
+        conn.request("POST", "/compress?lm=1&lm_batch=1000000000", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.request("POST", "/compress?lm=1&lm_batch=0", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
     finally:
         server.shutdown()
