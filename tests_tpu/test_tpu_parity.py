@@ -1,11 +1,13 @@
 """Real-chip parity: TPU dispatch paths vs their portable formulations.
 
-These pin the three claims the CPU suite cannot check itself:
+These pin the claims the CPU suite cannot check itself:
   * the Pallas L2-argmin codebook kernel is bit-exact vs the XLA
     formulation on the real codebook shapes (incl. torch tie-breaking);
   * the Pallas LSTM recurrence kernel matches the lax.scan step;
+  * the Pallas envelope-follower kernel is bit-exact vs the scan;
   * the batched-LM entropy-coding invariants (row locality at a fixed
-    executable shape) hold on the TPU backend, not just CPU.
+    executable shape) hold on the TPU backend, not just CPU;
+  * stream-level chunked-batch execution is bit-exact on TPU.
 """
 
 import numpy as np
@@ -158,3 +160,29 @@ def test_chunked_batch_matches_unchunked(rng):
     for cm, cc in zip(codes_m, codes_c):
         np.testing.assert_array_equal(np.asarray(cm), np.asarray(cc))
     np.testing.assert_array_equal(np.asarray(chunked), np.asarray(mono))
+
+
+def test_envelope_pallas_bit_exact_on_tpu(rng):
+    """The envelope-follower kernel (dsp compressor core) must be
+    bit-exact vs the XLA scan on hardware — same per-step f32 expression,
+    pure elementwise math (no dot-tiling ambiguity like the LSTM)."""
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.ops.pallas.envelope import envelope_pallas
+
+    a, r = 0.13, 0.003
+
+    def scan_ref(xt):
+        def step(level, x_n):
+            gain = jnp.where(x_n > level, a, r)
+            level = level + gain * (x_n - level)
+            return level, level
+
+        _, env = jax.lax.scan(step, jnp.zeros(xt.shape[1], xt.dtype), xt)
+        return env
+
+    for t, n in ((2048, 8), (240128, 64)):
+        x = jnp.asarray(np.abs(rng.standard_normal((t, n))), jnp.float32)
+        got = np.asarray(envelope_pallas(x, attack_gain=a, release_gain=r))
+        want = np.asarray(jax.jit(scan_ref)(x))
+        np.testing.assert_array_equal(got, want, err_msg=f"shape {(t, n)}")
