@@ -22,11 +22,37 @@ def biquad(x: jax.Array, b: jax.Array, a: jax.Array) -> jax.Array:
     """Direct-form-II-transposed biquad over the last axis.
 
     x: [..., T]; b: [3]; a: [3] with a[0] == 1.
+
+    On TPU, long f32 signals dispatch to the fused Pallas kernel
+    (`ops/pallas/biquad.py`) — same rationale and same bit-exactness
+    contract as `one_pole_follower` below; CPU/CI and short signals keep
+    the scan.
     """
     b = jnp.asarray(b, jnp.float32)
     a = jnp.asarray(a, jnp.float32)
     lead = x.shape[:-1]
     xt = jnp.swapaxes(x.reshape(-1, x.shape[-1]), 0, 1)  # [T, N]
+    t, n = xt.shape
+
+    use_pallas = False
+    try:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    except RuntimeError:  # pragma: no cover — uninitialized backend
+        pass
+    if use_pallas and xt.dtype == jnp.float32:
+        from neuralcodecs_tpu.ops.pallas.biquad import (
+            TIME_BLOCK,
+            biquad_pallas,
+            biquad_pallas_compiles,
+            biquad_pallas_supported,
+        )
+
+        if (biquad_pallas_supported(t, n)
+                and biquad_pallas_compiles(t, n, xt.dtype)):
+            t_pad = -(-t // TIME_BLOCK) * TIME_BLOCK
+            xp = jnp.pad(xt, ((0, t_pad - t), (0, 0)))
+            ys = biquad_pallas(xp, jnp.concatenate([b, a]))[:t]
+            return jnp.swapaxes(ys, 0, 1).reshape(*lead, -1)
 
     def step(carry, x_n):
         z1, z2 = carry
@@ -35,7 +61,6 @@ def biquad(x: jax.Array, b: jax.Array, a: jax.Array) -> jax.Array:
         z2_new = b[2] * x_n - a[2] * y
         return (z1_new, z2_new), y
 
-    n = xt.shape[1]
     init = (jnp.zeros(n, x.dtype), jnp.zeros(n, x.dtype))
     _, ys = jax.lax.scan(step, init, xt)
     return jnp.swapaxes(ys, 0, 1).reshape(*lead, -1)

@@ -186,3 +186,36 @@ def test_envelope_pallas_bit_exact_on_tpu(rng):
         got = np.asarray(envelope_pallas(x, attack_gain=a, release_gain=r))
         want = np.asarray(jax.jit(scan_ref)(x))
         np.testing.assert_array_equal(got, want, err_msg=f"shape {(t, n)}")
+
+
+def test_biquad_pallas_bit_exact_on_tpu(rng):
+    """The fused biquad kernel (BS.1770 K-weighting pre-filter) must be
+    bit-exact vs the XLA scan on hardware — same per-step f32 DF2T
+    expression, pure elementwise math."""
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.ops.pallas.biquad import biquad_pallas
+
+    b = jnp.asarray([1.5308412300498355, -2.6509799951536985,
+                     1.1690790799210682], jnp.float32)
+    a = jnp.asarray([1.0, -1.6636551132560202, 0.7125954280732254],
+                    jnp.float32)
+
+    def scan_ref(xt):
+        def step(carry, x_n):
+            z1, z2 = carry
+            y = b[0] * x_n + z1
+            z1_new = b[1] * x_n - a[1] * y + z2
+            z2_new = b[2] * x_n - a[2] * y
+            return (z1_new, z2_new), y
+
+        init = (jnp.zeros(xt.shape[1], xt.dtype),
+                jnp.zeros(xt.shape[1], xt.dtype))
+        _, ys = jax.lax.scan(step, init, xt)
+        return ys
+
+    for t, n in ((2048, 8), (240128, 64)):
+        x = jnp.asarray(rng.standard_normal((t, n)), jnp.float32)
+        got = np.asarray(biquad_pallas(x, jnp.concatenate([b, a])))
+        want = np.asarray(jax.jit(scan_ref)(x))
+        np.testing.assert_array_equal(got, want, err_msg=f"shape {(t, n)}")
