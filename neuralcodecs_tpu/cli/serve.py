@@ -170,6 +170,17 @@ class _MicroBatcher:
     noise realization (not its signal content) depends on its batch slot.
     The batch axis is padded to the next power of two (dropped on output)
     to bound the number of distinct compiled shapes.
+
+    For a Dia server the same machinery coalesces concurrent single-text
+    ``/tts`` requests into one batched ``generate`` call: the decode loop
+    streams the full parameter set once per STEP regardless of B
+    (weight-bandwidth bound; measured 11.5x aggregate tokens/s at B=16),
+    so a batch of B requests costs barely more than one. Requests group by
+    their ``max_tokens`` (EOS is forced at the batch's shared limit);
+    text-length differences are free — ``generate`` pads text internally
+    with zero attention weight. Caveat: sampling keys are derived per
+    batch row, so a request's sampled noise (not its text conditioning)
+    depends on its batch slot, exactly like SNAC's decoder dither.
     """
 
     def __init__(self, server: "CodecServer", window_s: float = 0.004,
@@ -190,13 +201,14 @@ class _MicroBatcher:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, prepared: np.ndarray) -> Future:
-        """Enqueue an already-prepared (model-rate, model-layout) array.
+    def submit(self, prepared) -> Future:
+        """Enqueue a prepared request item.
 
-        Preparation (resample + channel adaptation) happens in the caller's
-        handler thread so concurrent requests prepare in parallel; the one
+        Codec servers submit a model-rate, model-layout array — the
+        resample + channel adaptation happens in the caller's handler
+        thread so concurrent requests prepare in parallel, and the one
         batcher thread only stacks equal-shape arrays and runs the device
-        call.
+        call. Dia servers submit a ``(text, max_tokens)`` tuple.
         """
         fut: Future = Future()
         with self._submit_lock:
@@ -243,10 +255,19 @@ class _MicroBatcher:
                 batch.append(nxt)
             self._flush(batch)
 
+    def _group_key(self, item):
+        """Items sharing a key stack into one device call (codec: equal
+        prepared length -> no cross-stream padding; tts: equal max_tokens
+        -> one shared EOS limit for the batched decode loop)."""
+        if self.server.codec_name == "dia":
+            _text, max_tokens = item
+            return ("tts", max_tokens)
+        return item.shape
+
     def _flush(self, batch: list) -> None:
-        groups: dict[tuple, list] = {}
+        groups: dict = {}
         for x, fut in batch:
-            groups.setdefault(x.shape, []).append((x, fut))
+            groups.setdefault(self._group_key(x), []).append((x, fut))
         for items in groups.values():
             self._run_group(items)
 
@@ -254,6 +275,19 @@ class _MicroBatcher:
         server, model = self.server, self.server.model
         self.observed_batches.append(len(items))
         try:
+            if server.codec_name == "dia":
+                # one batched generation; generate_codes buckets the batch
+                # axis to the next power of two internally, so no padding
+                # is needed here
+                texts = [text for (text, _mt), _fut in items]
+                max_tokens = items[0][0][1]
+                with server._device_lock:
+                    audios = model.generate(
+                        texts, max_tokens=max_tokens,
+                        pad_tokens_to=server._dia_token_bucket())
+                for (_item, fut), a in zip(items, audios):
+                    fut.set_result(np.asarray(a))
+                return
             xs = [x for x, _ in items]
             b = len(xs)
             target_b = 1 << (b - 1).bit_length()
@@ -275,8 +309,9 @@ class _MicroBatcher:
 
 class CodecServer:
     """Wraps one codec model behind an HTTP server; device calls serialize
-    behind ``_device_lock``, and concurrent ``/roundtrip`` requests are
-    micro-batched into single device calls (``batch_window_ms > 0``)."""
+    behind ``_device_lock``, and concurrent ``/roundtrip`` (codec) or
+    single-text ``/tts`` (Dia) requests are micro-batched into single
+    device calls (``batch_window_ms > 0``)."""
 
     def __init__(self, model, codec_name: str, host: str = "127.0.0.1",
                  port: int = 8799, batch_window_ms: float = 4.0,
@@ -286,7 +321,7 @@ class CodecServer:
         self._device_lock = threading.Lock()
         self.metrics = _Metrics()
         self.batcher = (_MicroBatcher(self, batch_window_ms / 1000.0, max_batch)
-                        if batch_window_ms > 0 and codec_name != "dia" else None)
+                        if batch_window_ms > 0 else None)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -443,13 +478,23 @@ class CodecServer:
                             })
                         else:
                             text = payload["text"]
-                            with server._device_lock:
-                                audios = server.model.generate(
-                                    [text], max_tokens=max_tokens,
-                                    pad_tokens_to=server._dia_token_bucket())
+                            if not isinstance(text, str):
+                                raise ValueError("'text' must be a string")
+                            if server.batcher is not None:
+                                # concurrent single-text requests coalesce
+                                # into one batched generation (the decode
+                                # loop's weight stream is shared across B)
+                                out = server.batcher.submit(
+                                    (text, max_tokens)).result(timeout=600)
+                            else:
+                                with server._device_lock:
+                                    audios = server.model.generate(
+                                        [text], max_tokens=max_tokens,
+                                        pad_tokens_to=server._dia_token_bucket())
+                                out = np.asarray(audios[0])
                             self._reply(200, _array_to_wav(
-                                np.asarray(audios[0]),
-                                server.model.config.sample_rate), "audio/wav")
+                                out, server.model.config.sample_rate),
+                                "audio/wav")
                     else:
                         self._reply_json(404, {"error": "unknown route"})
                 except (ValueError, KeyError, json.JSONDecodeError,
@@ -563,6 +608,14 @@ class CodecServer:
             with self._device_lock:
                 self.model.generate_codes(["[S1]warmup"], max_tokens=8,
                                           pad_tokens_to=full)
+            if self.batcher is not None:
+                # compile the saturated-burst batch bucket too (the batch
+                # axis pads to powers of two, so max_batch is the shape
+                # every full micro-batch hits)
+                with self._device_lock:
+                    self.model.generate_codes(
+                        ["[S1]warmup"] * self.batcher.max_batch,
+                        max_tokens=8, pad_tokens_to=full)
             return
         sr = self.model.config.sample_rate
         want = getattr(self.model.config, "channels", 1)

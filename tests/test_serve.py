@@ -370,6 +370,54 @@ def test_serve_tts_batched_route():
         server.shutdown()
 
 
+def test_serve_tts_microbatch_coalesces_singles():
+    """Concurrent single-text /tts requests must coalesce into batched
+    generate calls (observed batch sizes > 1); requests with a different
+    max_tokens run as a separate group, never sharing the batch's EOS
+    limit."""
+    import concurrent.futures
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_dia import tiny_config
+
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+    from neuralcodecs_tpu.models.dia import Dia
+
+    dia = Dia(tiny_config(), seed=0)
+    dac_cfg = DACConfig(encoder_dim=8, encoder_rates=[2, 2], decoder_dim=32,
+                        decoder_rates=[2, 2], n_codebooks=3, codebook_size=1024,
+                        codebook_dim=4, sample_rate=44100)
+    dia.set_dac_model(DAC(dac_cfg))
+
+    server = CodecServer(dia, "dia", port=0, batch_window_ms=200.0,
+                         max_batch=8)
+    server.start_background()
+    try:
+        def one(i):
+            conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                              timeout=300)
+            max_tokens = 8 if i == 3 else 16  # one odd-one-out group
+            conn.request("POST", "/tts", body=json.dumps(
+                {"text": f"[S1]request {i}", "max_tokens": max_tokens}
+            ).encode())
+            resp = conn.getresponse()
+            data = resp.read()
+            conn.close()
+            return resp.status, data
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            results = list(pool.map(one, range(4)))
+        assert all(st == 200 for st, _ in results)
+        for _, data in results:
+            with wave.open(io.BytesIO(data), "rb") as f:
+                assert f.getnframes() > 0
+                assert f.getframerate() == dia.config.sample_rate
+        assert max(server.batcher.observed_batches) >= 2, \
+            list(server.batcher.observed_batches)
+    finally:
+        server.shutdown()
+
+
 def test_serve_oversize_body_closes_connection():
     """A 413 reply never reads the request body, so the server must close
     the keep-alive connection instead of parsing those bytes as the next
