@@ -295,7 +295,8 @@ def cmd_serve(args) -> int:
         model = _load_codec(args.codec, args.model, args.preset)
     server = CodecServer(model, args.codec, host=args.host, port=args.port,
                          batch_window_ms=args.batch_window_ms,
-                         max_batch=args.max_batch)
+                         max_batch=args.max_batch,
+                         dia_token_bucket=args.dia_token_bucket)
     stream_server = None
     if getattr(args, "stream_port", None) is not None:
         if args.codec != "encodec":
@@ -421,6 +422,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "requests (0 disables batching)")
     sv.add_argument("--max-batch", type=int, default=16,
                     help="micro-batching cap per device call")
+    sv.add_argument("--dia-token-bucket", type=int, default=None,
+                    help="cap the Dia generation-buffer bucket (default: the "
+                         "model's audio_length ceiling); a smaller bucket "
+                         "shrinks the per-step KV-cache read for deployments "
+                         "with a known generation ceiling, and oversize "
+                         "requests fall back to the model ceiling")
     sv.add_argument("--stream-port", type=int, default=None,
                     help="also serve low-latency streaming sessions on this "
                          "TCP port (encodec causal preset only; 0 = ephemeral)")

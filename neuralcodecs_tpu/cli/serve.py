@@ -284,7 +284,7 @@ class _MicroBatcher:
                 with server._device_lock:
                     audios = model.generate(
                         texts, max_tokens=max_tokens,
-                        pad_tokens_to=server._dia_token_bucket())
+                        pad_tokens_to=server._dia_token_bucket(max_tokens))
                 for (_item, fut), a in zip(items, audios):
                     fut.set_result(np.asarray(a))
                 return
@@ -315,9 +315,10 @@ class CodecServer:
 
     def __init__(self, model, codec_name: str, host: str = "127.0.0.1",
                  port: int = 8799, batch_window_ms: float = 4.0,
-                 max_batch: int = 16):
+                 max_batch: int = 16, dia_token_bucket: int | None = None):
         self.model = model
         self.codec_name = codec_name
+        self._dia_bucket = dia_token_bucket
         self._device_lock = threading.Lock()
         self.metrics = _Metrics()
         self.batcher = (_MicroBatcher(self, batch_window_ms / 1000.0, max_batch)
@@ -464,7 +465,8 @@ class CodecServer:
                             with server._device_lock:
                                 audios = server.model.generate(
                                     texts, max_tokens=max_tokens,
-                                    pad_tokens_to=server._dia_token_bucket())
+                                    pad_tokens_to=server._dia_token_bucket(
+                                        max_tokens))
                             import base64
 
                             sr = server.model.config.sample_rate
@@ -490,7 +492,8 @@ class CodecServer:
                                 with server._device_lock:
                                     audios = server.model.generate(
                                         [text], max_tokens=max_tokens,
-                                        pad_tokens_to=server._dia_token_bucket())
+                                        pad_tokens_to=server._dia_token_bucket(
+                                            max_tokens))
                                 out = np.asarray(audios[0])
                             self._reply(200, _array_to_wav(
                                 out, server.model.config.sample_rate),
@@ -518,14 +521,26 @@ class CodecServer:
 
     # -- codec-family adapters -------------------------------------------------
 
-    def _dia_token_bucket(self) -> int:
-        """The one generation-buffer bucket the serving process uses: the
-        model's audio_length ceiling. Pinning it trades a bounded
+    def _dia_token_bucket(self, max_tokens=None) -> int:
+        """The generation-buffer bucket for a request: by default the
+        model's audio_length ceiling. Pinning one bucket trades a bounded
         per-step KV-cache read (the self-attention cache is sized by the
         bucket) for never recompiling on a new ``max_tokens`` — EOS is
         still forced at the exact requested limit via the dynamic
-        ``token_limit`` operand."""
-        return self.model.config.data.audio_length
+        ``token_limit`` operand.
+
+        Operators who know their deployment's generation ceiling can cap
+        the bucket (``--dia-token-bucket``): a smaller self-attention
+        cache cuts the per-step KV read, which is most of the per-stream
+        step cost once prompts are bucketed (PERF.md decode-loop
+        accounting). A request whose ``max_tokens`` exceeds the cap falls
+        back to the model-ceiling bucket (one extra executable, compiled
+        lazily on first oversize request) instead of failing."""
+        full = self.model.config.data.audio_length
+        bucket = min(self._dia_bucket or full, full)
+        if max_tokens is not None and int(max_tokens) > bucket:
+            return full
+        return bucket
 
     def _prepare_audio(self, audio: np.ndarray, sr: int) -> np.ndarray:
         """[C, T] request audio -> model-rate, model-channel layout."""

@@ -147,17 +147,22 @@ def test_serve_dia_tts_route():
                         codebook_dim=4, sample_rate=44100)
     dia.set_dac_model(DAC(dac_cfg))
 
-    server = CodecServer(dia, "dia", port=0)
+    # capped generation-buffer bucket: requests within the cap use the
+    # small bucket, oversize requests fall back to the model ceiling
+    server = CodecServer(dia, "dia", port=0, dia_token_bucket=16)
+    assert server._dia_token_bucket(8) == 16
+    assert server._dia_token_bucket(24) == dia.config.data.audio_length
     server.start_background()
     try:
         conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
-        conn.request("POST", "/tts",
-                     body=json.dumps({"text": "[S1]hi", "max_tokens": 16}).encode())
-        resp = conn.getresponse()
-        assert resp.status == 200
-        with wave.open(io.BytesIO(resp.read()), "rb") as f:
-            assert f.getnframes() > 0
-            assert f.getframerate() == dia.config.sample_rate
+        for max_tokens in (16, 24):  # in-cap and oversize-fallback paths
+            conn.request("POST", "/tts", body=json.dumps(
+                {"text": "[S1]hi", "max_tokens": max_tokens}).encode())
+            resp = conn.getresponse()
+            assert resp.status == 200
+            with wave.open(io.BytesIO(resp.read()), "rb") as f:
+                assert f.getnframes() > 0
+                assert f.getframerate() == dia.config.sample_rate
     finally:
         server.shutdown()
 
