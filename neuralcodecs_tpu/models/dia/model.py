@@ -575,12 +575,24 @@ class Dia:
             prompts = [self.load_audio_prompt(p) for p in audio_prompt_paths]
             kwargs.setdefault("audio_prompts", prompts)
         codes, lengths = self.generate_codes(texts, **kwargs)
+        # vocode items of equal code length as ONE batched DAC decode:
+        # a served burst shares max_tokens, so its streams usually finish
+        # at the same length and the whole batch decodes in one device
+        # call (the per-item loop serialized B decoder dispatches).
+        # Grouping by exact length keeps outputs bit-identical to the
+        # per-item decode — no cross-stream padding is ever introduced.
+        by_len: dict[int, list[int]] = {}
+        for i in range(codes.shape[0]):
+            by_len.setdefault(max(int(lengths[i]), 1), []).append(i)
+        wavs: dict[int, np.ndarray] = {}
+        for length, idxs in by_len.items():
+            stacked = np.stack([codes[i, :length].T for i in idxs])  # [G, C, L]
+            decoded = self.dac.from_codes(stacked)                   # [G, L*hop]
+            for g, i in enumerate(idxs):
+                wavs[i] = np.asarray(decoded[g])
         audios = []
         for i in range(codes.shape[0]):
-            length = int(lengths[i])
-            item = codes[i, :max(length, 1)]              # [L, C]
-            wav = self.dac.from_codes(item.T[None])       # [1, L*hop]
-            wav = np.asarray(wav[0])
+            wav = wavs[i]
             factor = self._speed_factor(len(texts[i]))
             if abs(factor - 1.0) > 1e-6:
                 from neuralcodecs_tpu.dsp.resample import resample_poly
