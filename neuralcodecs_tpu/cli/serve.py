@@ -430,6 +430,37 @@ class CodecServer:
                             blob = server.model.compress(
                                 x, use_lm=use_lm, lm=lm, lm_batch=lm_batch)
                         self._reply(200, blob, "application/octet-stream")
+                    elif (self.path.split("?", 1)[0] == "/compress"
+                          and server.codec_name == "dac"):
+                        # WAV in -> .dac artifact out (the reference's
+                        # DACFile.cs container, frozen framing in
+                        # models/dac/dacfile.py)
+                        from neuralcodecs_tpu.models.dac.dacfile import (
+                            dac_file_bytes,
+                        )
+
+                        audio, sr = _wav_to_array(body)
+                        x = server._prepare_audio(audio, sr)
+                        with server._device_lock:
+                            _, codes, _, _, _ = server.model.encode(x)
+                        blob = dac_file_bytes(
+                            [np.asarray(codes)], server.model.config)
+                        self._reply(200, blob, "application/octet-stream")
+                    elif (self.path.split("?", 1)[0] == "/decompress"
+                          and server.codec_name == "dac"):
+                        from neuralcodecs_tpu.models.dac.dacfile import (
+                            parse_dac_file,
+                        )
+
+                        codes, _cfg = parse_dac_file(body)
+                        if not codes:
+                            raise ValueError("empty .dac artifact")
+                        with server._device_lock:
+                            out = np.asarray(server.model.from_codes(
+                                np.asarray(codes[0], np.int32)))
+                        self._reply(200, _array_to_wav(
+                            out[0], server.model.config.sample_rate),
+                            "audio/wav")
                     elif (self.path.split("?", 1)[0] == "/decompress"
                           and server.codec_name == "encodec"):
                         # peek the header outside the lock so an LM stream's

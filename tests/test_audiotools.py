@@ -163,6 +163,44 @@ def test_dac_file_roundtrip(tmp_path, rng):
     assert loaded_cfg.n_codebooks == cfg.n_codebooks
 
 
+def test_dac_file_rejects_malformed_input(rng):
+    """The .dac parser is exposed to untrusted bytes (serve /decompress):
+    every length field must be bounded before allocation and truncation
+    must raise, never produce short arrays."""
+    import pytest
+
+    from neuralcodecs_tpu.models.dac.config import DACConfig
+    from neuralcodecs_tpu.models.dac.dacfile import (
+        dac_file_bytes, parse_dac_file)
+
+    codes = [rng.integers(0, 1024, size=(1, 3, 20)).astype(np.int32)]
+    good = dac_file_bytes(codes, DACConfig())
+    back, _ = parse_dac_file(good)
+    np.testing.assert_array_equal(back[0], codes[0])
+
+    with pytest.raises(ValueError):
+        parse_dac_file(b"NOPE" + good[4:])          # bad magic
+    for cut in (2, 7, 11, len(good) // 2, len(good) - 1):
+        with pytest.raises(ValueError):
+            parse_dac_file(good[:cut])              # truncations
+    # unreasonable declared sizes must be rejected before allocation
+    import struct
+    with pytest.raises(ValueError):
+        parse_dac_file(good[:8] + struct.pack("<I", 1 << 30) + good[12:])
+    hdr_end = 12 + struct.unpack("<I", good[8:12])[0]
+    with pytest.raises(ValueError):  # tensor count
+        parse_dac_file(good[:hdr_end] + struct.pack("<I", 1 << 30)
+                       + good[hdr_end + 4:])
+    with pytest.raises(ValueError):  # tensor rank
+        parse_dac_file(good[:hdr_end + 4] + struct.pack("<I", 99)
+                       + good[hdr_end + 8:])
+    # giant dims (python-int product, no overflow wrap) rejected
+    dims_at = hdr_end + 8
+    with pytest.raises(ValueError):
+        parse_dac_file(good[:dims_at] + struct.pack("<q", 1 << 62)
+                       + good[dims_at + 8:])
+
+
 def test_pcm_conversions(rng):
     from neuralcodecs_tpu.dsp import audio_utils as au
 

@@ -423,6 +423,44 @@ def test_serve_tts_microbatch_coalesces_singles():
         server.shutdown()
 
 
+def test_serve_dac_compress_decompress_routes():
+    """DAC servers speak the .dac artifact over HTTP: /compress returns
+    bytes that /decompress (and the file loader) accept; malformed bytes
+    are a 400, not a traceback."""
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+    from neuralcodecs_tpu.models.dac.dacfile import parse_dac_file
+
+    cfg = DACConfig(encoder_dim=8, encoder_rates=[2, 2], decoder_dim=32,
+                    decoder_rates=[2, 2], n_codebooks=3, codebook_size=64,
+                    codebook_dim=4, sample_rate=16000)
+    server = CodecServer(DAC(cfg), "dac", port=0, batch_window_ms=0)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=120)
+        conn.request("POST", "/compress", body=_wav_bytes())
+        resp = conn.getresponse()
+        blob = resp.read()
+        assert resp.status == 200
+        codes, loaded_cfg = parse_dac_file(blob)
+        assert codes[0].shape[1] == cfg.n_codebooks
+        assert loaded_cfg.sample_rate == cfg.sample_rate
+
+        conn.request("POST", "/decompress", body=blob)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with wave.open(io.BytesIO(resp.read()), "rb") as f:
+            assert f.getframerate() == cfg.sample_rate
+            assert f.getnframes() > 0
+
+        conn.request("POST", "/decompress", body=b"not a dac artifact")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+    finally:
+        server.shutdown()
+
+
 def test_serve_oversize_body_closes_connection():
     """A 413 reply never reads the request body, so the server must close
     the keep-alive connection instead of parsing those bytes as the next
