@@ -530,7 +530,7 @@ def main() -> None:
                 "unit": "tokens/s",
                 "vs_baseline": round(tok_s / 40.0, 2),
             }))
-            for bsz in (8, 16):
+            for bsz in (8, 16, 32):
                 try:
                     agg = _time_dia(model, batch=bsz)
                 except Exception as exc:
