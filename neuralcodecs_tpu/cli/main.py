@@ -161,6 +161,28 @@ def cmd_tts(args) -> int:
 
     model = _load_dia_cli(args.model, dtype=args.dtype, int8=args.int8,
                           dac_model=args.dac_model)
+    if getattr(args, "stream", False):
+        # incremental decode: chunks land in the output file as they are
+        # generated (time-to-first-audio ~= one segment, not the whole
+        # utterance); the whole-utterance slowdown resample is skipped
+        import time as _time
+
+        kwargs = {}
+        if args.audio_prompt:
+            kwargs["audio_prompt_path"] = args.audio_prompt
+        t0 = _time.perf_counter()
+        chunks = []
+        for sr, chunk in model.generate_stream(
+                args.text, max_tokens=args.max_tokens,
+                segment_tokens=args.segment_tokens, **kwargs):
+            if not chunks and len(chunk):
+                print(f"first audio after {_time.perf_counter() - t0:.2f}s")
+            chunks.append(chunk)
+        audio = np.concatenate(chunks) if chunks else np.zeros(1, np.float32)
+        AudioSignal(audio, model.config.sample_rate).write(args.output)
+        print(f"wrote {args.output} "
+              f"({len(audio) / model.config.sample_rate:.2f}s)")
+        return 0
     gen_kwargs = {}
     if args.audio_prompt:
         gen_kwargs["audio_prompt_paths"] = [args.audio_prompt]
@@ -389,6 +411,12 @@ def build_parser() -> argparse.ArgumentParser:
     tts.add_argument("--audio-prompt",
                      help="WAV voice-clone prompt (DAC-encoded on the fly, "
                           "Dia.LoadAudioPrompts parity)")
+    tts.add_argument("--stream", action="store_true",
+                     help="segment-wise generation: audio chunks are "
+                          "vocoded as tokens decode (low first-audio "
+                          "latency; skips the slowdown resample)")
+    tts.add_argument("--segment-tokens", type=int, default=64,
+                     help="decode-loop steps per streamed segment")
     tts.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     tts.add_argument("--int8", action="store_true",
                      help="weight-only int8 (fastest serving config)")

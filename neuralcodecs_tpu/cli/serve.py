@@ -96,6 +96,18 @@ def _array_to_wav(audio: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
+def _streaming_wav_header(sr: int, channels: int = 1) -> bytes:
+    """A 44-byte WAV header with the streaming convention of 0xFFFFFFFF
+    RIFF/data sizes (length unknown at header time); players and stdlib
+    readers treat it as read-until-EOF."""
+    import struct
+
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt " +
+            struct.pack("<IHHIIHH", 16, 1, channels, sr, sr * 2 * channels,
+                        2 * channels, 16) +
+            b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
 class _Metrics:
     """Thread-safe per-route serving counters (GET /metrics).
 
@@ -110,7 +122,7 @@ class _Metrics:
 
     KNOWN_ROUTES = frozenset(
         {"/healthz", "/metrics", "/roundtrip", "/encode", "/decode", "/tts",
-         "/compress", "/decompress"})
+         "/tts/stream", "/compress", "/decompress"})
 
     def record(self, route: str, seconds: float, ok: bool) -> None:
         # bucket unknown (attacker-controlled) paths so the route table --
@@ -529,6 +541,66 @@ class CodecServer:
                             self._reply(200, _array_to_wav(
                                 out, server.model.config.sample_rate),
                                 "audio/wav")
+                    elif (self.path == "/tts/stream"
+                          and server.codec_name == "dia"):
+                        payload = json.loads(body)
+                        text = payload["text"]
+                        if not isinstance(text, str):
+                            raise ValueError("'text' must be a string")
+                        max_tokens = payload.get("max_tokens")
+                        seg = int(payload.get("segment_tokens") or 64)
+                        if not 1 <= seg <= 4096:
+                            raise ValueError("segment_tokens out of range")
+                        kwargs = dict(
+                            segment_tokens=seg,
+                            seed=int(payload.get("seed") or 0),
+                            pad_tokens_to=server._dia_token_bucket(max_tokens))
+                        if max_tokens is not None:
+                            kwargs["max_tokens"] = int(max_tokens)
+                        # device work happens inside next(gen); take the lock
+                        # per segment so codec/tts requests interleave with
+                        # the stream instead of stalling behind it
+                        gen = server.model.generate_stream(text, **kwargs)
+                        sr = server.model.config.sample_rate
+                        # pull the FIRST chunk before committing headers so
+                        # validation/compile errors still return clean JSON
+                        with server._device_lock:
+                            first = next(gen, None)
+                        self._last_status = 200
+                        self.send_response(200)
+                        self.send_header("Content-Type", "audio/wav")
+                        self.send_header("Transfer-Encoding", "chunked")
+                        self.send_header("X-Sample-Rate", str(sr))
+                        self.end_headers()
+
+                        def _chunk(data: bytes) -> None:
+                            if data:
+                                self.wfile.write(
+                                    f"{len(data):X}\r\n".encode()
+                                    + data + b"\r\n")
+
+                        def _pcm(chunk) -> bytes:
+                            return (np.clip(chunk, -1.0, 1.0)
+                                    * 32767.0).astype("<i2").tobytes()
+
+                        try:
+                            _chunk(_streaming_wav_header(sr))
+                            if first is not None:
+                                _chunk(_pcm(first[1]))
+                            while True:
+                                with server._device_lock:
+                                    try:
+                                        _, chunk = next(gen)
+                                    except StopIteration:
+                                        break
+                                _chunk(_pcm(chunk))
+                            self.wfile.write(b"0\r\n\r\n")
+                        except Exception:
+                            # headers are out: no second response possible —
+                            # drop the connection so the client sees a
+                            # truncated chunked stream, not a silent success
+                            self._last_status = 500
+                            self.close_connection = True
                     else:
                         self._reply_json(404, {"error": "unknown route"})
                 except (ValueError, KeyError, json.JSONDecodeError,

@@ -287,23 +287,16 @@ class Dia:
 
     # -------------------------------------------------------------- generation
 
-    @functools.partial(jax.jit, static_argnames=("self", "max_tokens", "temperature",
-                                                 "top_k", "top_p", "cfg_scale"))
-    def _generate_jit(self, params: Params, text_tokens: Array, prefill: Array,
-                      prefill_steps: Array, rng: Array, token_limit: Array,
-                      row_active: Array, *, max_tokens: int, temperature: float,
-                      top_k: int, top_p: float, cfg_scale: float):
-        """The whole generation pipeline on device.
+    def _start_state(self, params: Params, text_tokens: Array, prefill: Array,
+                     prefill_steps: Array, rng: Array, row_active: Array,
+                     *, max_tokens: int):
+        """Encoder + cross caches + decoder prefill -> initial loop state.
 
-        text_tokens: [B, S] int; prefill: [B, Tpre, C] delayed prompt tokens;
-        prefill_steps: [B] int32. Returns (generated [B, maxT, C],
-        finished_step [B], lengths [B]).
-
-        ``max_tokens`` (static) sizes the generation buffer and KV caches;
-        ``token_limit`` (dynamic, <= max_tokens) is where EOS is forced.
-        Splitting the two lets callers bucket the compiled buffer length
-        while honoring the exact requested limit, so serving different
-        ``max_tokens`` values reuses one executable per bucket.
+        Returns ``(carry, cross_caches, cross_mask)`` where ``carry`` is the
+        autoregressive while_loop carry consumed by :meth:`_run_loop`. Shared
+        by the one-shot :meth:`_generate_jit` path and the segment-resumable
+        streaming path (:meth:`_generate_start_jit` /
+        :meth:`_generate_segment_jit`), so both trace the exact same ops.
         """
         cfg = self.config
         data = cfg.data
@@ -357,12 +350,39 @@ class Dia:
             new_self_caches.append(cache)
         self_caches = new_self_caches
 
+        # batch-padding rows start with countdown 0 ("already finished") so
+        # they can never hold the loop open past the real rows' EOS
+        carry = (dec_step0, generated,
+                 jnp.zeros((b,), bool),
+                 jnp.full((b,), -1, jnp.int32),
+                 jnp.where(row_active, -1, 0).astype(jnp.int32),
+                 self_caches, rng, dec_step0)
+        return carry, cross_caches, cross_mask
+
+    def _run_loop(self, params: Params, carry, cross_caches, cross_mask,
+                  prefill_steps: Array, token_limit: Array, stop,
+                  *, max_tokens: int, temperature: float, top_k: int,
+                  top_p: float, cfg_scale: float):
+        """Run the autoregressive while_loop from ``carry`` until ``stop``
+        (exclusive step bound, dynamic or static) or until every row's EOS
+        countdown drains. Returns the advanced carry — resumable, so a host
+        caller can step the generation in segments (streaming TTS) with the
+        KV caches staying on device between calls."""
+        cfg = self.config
+        data = cfg.data
+        b = carry[1].shape[0]
+        channels = data.channels
+        eos = data.audio_eos_value
+        pad = data.audio_pad_value
+        delay = jnp.asarray(data.delay_pattern, jnp.int32)
+        max_delay = int(max(data.delay_pattern))
+
         # ---- autoregressive while_loop --------------------------------------
         slots = jnp.arange(max_tokens, dtype=jnp.int32)
 
         def cond(carry):
             step, _, _, _, countdown, _, _, _ = carry
-            return (step < max_tokens - 1) & ~jnp.all(countdown == 0)
+            return (step < stop) & ~jnp.all(countdown == 0)
 
         def body(carry):
             (step, generated, eos_detected, finished, countdown, caches,
@@ -437,19 +457,69 @@ class Dia:
             return (step + 1, generated, eos_detected, finished, countdown,
                     new_caches, rng, step_idx)
 
-        # batch-padding rows start with countdown 0 ("already finished") so
-        # they can never hold the loop open past the real rows' EOS
-        carry = (dec_step0, generated,
-                 jnp.zeros((b,), bool),
-                 jnp.full((b,), -1, jnp.int32),
-                 jnp.where(row_active, -1, 0).astype(jnp.int32),
-                 self_caches, rng, dec_step0)
-        (final_step, generated, _, finished, _, _, _, _) = jax.lax.while_loop(
-            cond, body, carry)
+        return jax.lax.while_loop(cond, body, carry)
 
+    @functools.partial(jax.jit, static_argnames=("self", "max_tokens", "temperature",
+                                                 "top_k", "top_p", "cfg_scale"))
+    def _generate_jit(self, params: Params, text_tokens: Array, prefill: Array,
+                      prefill_steps: Array, rng: Array, token_limit: Array,
+                      row_active: Array, *, max_tokens: int, temperature: float,
+                      top_k: int, top_p: float, cfg_scale: float):
+        """The whole generation pipeline on device.
+
+        text_tokens: [B, S] int; prefill: [B, Tpre, C] delayed prompt tokens;
+        prefill_steps: [B] int32. Returns (generated [B, maxT, C],
+        finished_step [B], lengths [B]).
+
+        ``max_tokens`` (static) sizes the generation buffer and KV caches;
+        ``token_limit`` (dynamic, <= max_tokens) is where EOS is forced.
+        Splitting the two lets callers bucket the compiled buffer length
+        while honoring the exact requested limit, so serving different
+        ``max_tokens`` values reuses one executable per bucket.
+        """
+        carry, cross_caches, cross_mask = self._start_state(
+            params, text_tokens, prefill, prefill_steps, rng, row_active,
+            max_tokens=max_tokens)
+        # stop is the static python int max_tokens - 1, so this traces the
+        # exact same while_loop as before the streaming split
+        (final_step, generated, _, finished, _, _, _, _) = self._run_loop(
+            params, carry, cross_caches, cross_mask, prefill_steps,
+            token_limit, max_tokens - 1, max_tokens=max_tokens,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            cfg_scale=cfg_scale)
+
+        max_delay = int(max(self.config.data.delay_pattern))
         finished = jnp.where(finished == -1, final_step + 1 - max_delay, finished)
         lengths = jnp.clip(finished - prefill_steps, 0)
         return generated, finished, lengths
+
+    @functools.partial(jax.jit, static_argnames=("self", "max_tokens"))
+    def _generate_start_jit(self, params: Params, text_tokens: Array,
+                            prefill: Array, prefill_steps: Array, rng: Array,
+                            row_active: Array, *, max_tokens: int):
+        """Streaming entry: encoder + prefill only, returning the resumable
+        loop carry (KV caches stay on device across segment calls)."""
+        return self._start_state(params, text_tokens, prefill, prefill_steps,
+                                 rng, row_active, max_tokens=max_tokens)
+
+    @functools.partial(jax.jit, static_argnames=("self", "max_tokens",
+                                                 "temperature", "top_k",
+                                                 "top_p", "cfg_scale"))
+    def _generate_segment_jit(self, params: Params, carry, cross_caches,
+                              cross_mask, prefill_steps: Array,
+                              token_limit: Array, seg_end: Array,
+                              *, max_tokens: int, temperature: float,
+                              top_k: int, top_p: float, cfg_scale: float):
+        """Advance the generation loop until ``seg_end`` (dynamic) or EOS.
+
+        One executable serves every segment length — ``seg_end`` is a traced
+        operand, so the host can stream tokens in arbitrary-size slices
+        without recompiling."""
+        return self._run_loop(
+            params, carry, cross_caches, cross_mask, prefill_steps,
+            token_limit, jnp.minimum(seg_end, max_tokens - 1),
+            max_tokens=max_tokens, temperature=temperature, top_k=top_k,
+            top_p=top_p, cfg_scale=cfg_scale)
 
     def generate_codes(self, texts: Sequence[str], *, max_tokens: int | None = None,
                        cfg_scale: float | None = None, temperature: float | None = None,
@@ -601,6 +671,141 @@ class Dia:
                 wav = np.asarray(resample_poly(wav, int(sr * factor), sr))
             audios.append(wav)
         return audios
+
+    def generate_codes_stream(self, text: str, *, segment_tokens: int = 64,
+                              max_tokens: int | None = None,
+                              cfg_scale: float | None = None,
+                              temperature: float | None = None,
+                              top_p: float | None = None,
+                              top_k: int | None = None,
+                              audio_prompt: np.ndarray | None = None,
+                              seed: int = 0, pad_text_to: int | None = None,
+                              pad_tokens_to: int | None = None):
+        """Incremental generation for ONE text: yields ``(codes_block, done)``.
+
+        Each yielded ``codes_block`` is ``[n, C]`` int32 delay-reverted DAC
+        codes — concatenating every block reproduces ``generate_codes([text])``
+        exactly (same seed, same buckets, same RNG stream: the loop carry,
+        including the per-step split key and donatable KV caches, stays on
+        device between segment dispatches; only scalars come back to the
+        host). A frame is emitted once all of its delayed channels are
+        decoded, i.e. emission lags the decode head by ``max(delay_pattern)``
+        steps. First-codes latency is therefore ~``segment_tokens`` steps
+        instead of the whole generation (the streaming counterpart of the
+        reference's one-shot Dia.Generate, Models/Dia.cs:615-820).
+        """
+        cfg = self.config
+        data = cfg.data
+        channels = data.channels
+        requested = int(max_tokens or data.audio_length)
+        if pad_tokens_to is None:
+            pad_tokens_to = 64
+            while pad_tokens_to < requested:
+                pad_tokens_to *= 2
+            pad_tokens_to = min(pad_tokens_to, max(data.audio_length, requested))
+        buffer_len = max(int(pad_tokens_to), requested)
+        text_arr = self._pad_text([self.encode_text(text)], pad_to=pad_text_to)
+        max_delay = max(data.delay_pattern)
+
+        prompt_len = 0 if audio_prompt is None else len(audio_prompt)
+        t_pre = prompt_len + max_delay
+        prefill = np.full((1, max(t_pre, max_delay + 1), channels), -1, np.int64)
+        prefill[:, 0, :] = data.audio_bos_value
+        prefill_steps = np.ones((1,), np.int32)
+        if audio_prompt is not None:
+            prefill[0, 1:1 + prompt_len] = np.asarray(audio_prompt)
+            prefill_steps[0] = prompt_len + 1
+        delayed = apply_audio_delay(jnp.asarray(prefill), -1,
+                                    data.audio_bos_value, data.delay_pattern)
+
+        statics = dict(
+            max_tokens=int(buffer_len),
+            temperature=float(cfg.temperature if temperature is None else temperature),
+            top_k=int(cfg.top_k if top_k is None else top_k),
+            top_p=float(cfg.top_p if top_p is None else top_p),
+            cfg_scale=float(cfg.cfg_scale if cfg_scale is None else cfg_scale))
+        steps_dev = jnp.asarray(prefill_steps)
+        carry, cross_caches, cross_mask = self._generate_start_jit(
+            self.params, jnp.asarray(text_arr), delayed, steps_dev,
+            jax.random.key(seed), jnp.ones((1,), bool),
+            max_tokens=int(buffer_len))
+        token_limit = jnp.int32(requested)
+        start = int(prefill_steps[0])
+        emitted = 0
+        delay = list(data.delay_pattern)
+        while True:
+            step = int(carry[0])
+            seg_end = jnp.int32(min(step + int(segment_tokens), buffer_len - 1))
+            carry = self._generate_segment_jit(
+                self.params, carry, cross_caches, cross_mask, steps_dev,
+                token_limit, seg_end, **statics)
+            step = int(carry[0])
+            countdown = np.asarray(carry[4])
+            done = bool(step >= buffer_len - 1) or bool(np.all(countdown == 0))
+            if done:
+                finished = int(np.asarray(carry[3])[0])
+                if finished == -1:
+                    finished = step + 1 - max_delay
+                frames_avail = max(finished - start, 0)
+            else:
+                # frame f is complete once row start+f+max_delay is written
+                frames_avail = max(step - start - max_delay + 1, 0)
+            if frames_avail > emitted or done:
+                gen = np.asarray(carry[1][0])  # [maxT, C]
+                block = np.zeros((frames_avail - emitted, channels), np.int64)
+                for c, dly in enumerate(delay):
+                    lo = start + emitted + dly
+                    block[:, c] = gen[lo:lo + frames_avail - emitted, c]
+                block = np.where((block < 0) | (block > 1023), 0, block)
+                yield block.astype(np.int32), done
+                emitted = frames_avail
+            if done:
+                return
+
+    def generate_stream(self, text: str, *,
+                        audio_prompt_path: str | None = None,
+                        **kwargs):
+        """Streaming TTS: yields ``(sample_rate, audio_chunk)`` float32 arrays
+        as the generation proceeds.
+
+        Each code segment is vocoded with a halo of
+        ``decoder_receptive_field_frames`` frames on both sides, so interior
+        samples match the one-shot ``generate`` decode exactly; emission of
+        audio lags the code head by one halo (the right context a non-causal
+        decoder needs). The dynamic-slowdown resample (``_speed_factor``)
+        is NOT applied on the streaming path — it is a whole-utterance
+        post-process that would seam across chunks; callers that need it can
+        resample the concatenated stream.
+        """
+        if self.dac is None:
+            raise RuntimeError(
+                "No DAC vocoder attached; call load_dac_model()/set_dac_model()")
+        from neuralcodecs_tpu.ops.chunking import decoder_receptive_field_frames
+
+        dcfg = self.dac.config
+        halo = decoder_receptive_field_frames(list(dcfg.decoder_rates))
+        hop = dcfg.hop_length
+        sr = dcfg.sample_rate
+        if audio_prompt_path is not None:
+            kwargs.setdefault("audio_prompt",
+                              self.load_audio_prompt(audio_prompt_path))
+        codes_buf = np.zeros((0, self.config.data.channels), np.int32)
+        sent = 0  # frames whose audio has been yielded
+        for block, done in self.generate_codes_stream(text, **kwargs):
+            codes_buf = np.concatenate([codes_buf, block], axis=0)
+            total = len(codes_buf)
+            emit_to = total if done else max(total - halo, sent)
+            if emit_to > sent or (done and total == 0):
+                if total == 0:
+                    yield sr, np.zeros((0,), np.float32)
+                    return
+                lo = max(sent - halo, 0)
+                hi = min(total, emit_to + halo)
+                seg = codes_buf[lo:hi]  # [n, C]
+                audio = np.asarray(self.dac.from_codes(seg.T[None]))[0]
+                chunk = audio[(sent - lo) * hop:(emit_to - lo) * hop]
+                yield sr, np.asarray(chunk, np.float32)
+                sent = emit_to
 
     def _speed_factor(self, text_length: int) -> float:
         """Dynamic slowdown factor (Dia.GenerateOutput :1050-1065)."""

@@ -223,3 +223,45 @@ def test_dia_pad_text_truncates_long_prompt():
     out = dia._pad_text(tokens, pad_to=pad_to)
     assert out.shape == (1, pad_to)
     np.testing.assert_array_equal(out[0], tokens[0][:pad_to])
+
+
+def test_dia_stream_codes_match_oneshot(rng):
+    """Concatenating generate_codes_stream blocks reproduces the one-shot
+    generate_codes output exactly — same seed, same RNG stream, regardless
+    of the segment size (the loop carry crosses segments on device)."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    codes, lengths = dia.generate_codes(["[S1]stream me"], max_tokens=24,
+                                        seed=11)
+    for segment_tokens in (5, 64):
+        blocks = []
+        dones = []
+        for block, done in dia.generate_codes_stream(
+                "[S1]stream me", segment_tokens=segment_tokens,
+                max_tokens=24, seed=11):
+            blocks.append(block)
+            dones.append(done)
+        assert dones[-1] and not any(dones[:-1])
+        streamed = np.concatenate(blocks, axis=0)
+        assert streamed.shape[0] == int(lengths[0])
+        np.testing.assert_array_equal(streamed, codes[0, :int(lengths[0])])
+
+
+def test_dia_stream_audio_matches_generate(rng):
+    """Halo-decoded streaming audio chunks concatenate to the one-shot
+    generate() waveform (interior samples exact up to float assoc)."""
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    dac_cfg = DACConfig(encoder_dim=8, encoder_rates=[2, 2], decoder_dim=32,
+                        decoder_rates=[2, 2], n_codebooks=3, codebook_size=1024,
+                        codebook_dim=4, sample_rate=44100)
+    dia.set_dac_model(DAC(dac_cfg))
+    ref = dia.generate(["[S1]hello there"], max_tokens=20, seed=3)[0]
+    chunks = [c for _, c in dia.generate_stream("[S1]hello there",
+                                                segment_tokens=6,
+                                                max_tokens=20, seed=3)]
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == np.asarray(ref).shape
+    np.testing.assert_allclose(streamed, np.asarray(ref), atol=1e-5, rtol=0)

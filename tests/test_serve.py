@@ -568,3 +568,50 @@ def test_serve_compress_decompress_routes():
         resp.read()
     finally:
         server.shutdown()
+
+
+def test_serve_tts_stream_route():
+    """/tts/stream chunks concatenate to the same PCM as one-shot /tts
+    (modulo the whole-utterance slowdown resample, inert for short text)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_dia import tiny_config
+
+    from neuralcodecs_tpu.models.dac import DAC, DACConfig
+    from neuralcodecs_tpu.models.dia import Dia
+
+    dia = Dia(tiny_config(), seed=0)
+    dac_cfg = DACConfig(encoder_dim=8, encoder_rates=[2, 2], decoder_dim=32,
+                        decoder_rates=[2, 2], n_codebooks=3, codebook_size=1024,
+                        codebook_dim=4, sample_rate=44100)
+    dia.set_dac_model(DAC(dac_cfg))
+    server = CodecServer(dia, "dia", port=0, dia_token_bucket=32)
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+        conn.request("POST", "/tts", body=json.dumps(
+            {"text": "[S1]hi", "max_tokens": 20}).encode())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with wave.open(io.BytesIO(resp.read()), "rb") as f:
+            ref_pcm = f.readframes(f.getnframes())
+
+        conn.request("POST", "/tts/stream", body=json.dumps(
+            {"text": "[S1]hi", "max_tokens": 20,
+             "segment_tokens": 6}).encode())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("X-Sample-Rate") == "44100"
+        blob = resp.read()  # http.client decodes the chunked framing
+        assert blob[:4] == b"RIFF" and blob[36:40] == b"data"
+        stream_pcm = blob[44:]
+        assert stream_pcm == ref_pcm
+
+        # bad request before headers commit -> clean JSON error
+        conn.request("POST", "/tts/stream", body=json.dumps(
+            {"text": 5}).encode())
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+    finally:
+        server.shutdown()
