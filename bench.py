@@ -341,13 +341,15 @@ def bench_ecdc_lm(seconds: float = 2.0, batch: int = 16) -> dict:
     }
 
 
-def _make_dia(int8: bool):
+def _make_dia(int8: bool = False, int4: bool = False):
     import jax.numpy as jnp
 
     from neuralcodecs_tpu.models.dia import Dia, DiaConfig
 
     model = Dia(DiaConfig(), compute_dtype=jnp.bfloat16)
-    if int8:
+    if int4:
+        model.quantize_int4()
+    elif int8:
         model.quantize_int8()
     return model
 
@@ -457,7 +459,8 @@ def main() -> None:
 
     filter_flags = {"--snac", "--dac", "--enc24", "--enc48", "--dsp",
                     "--dia", "--aggregate", "--all"}
-    optin_flags = {"--bf16", "--mixed", "--int8", "--dia-batch", "--ecdc"}
+    optin_flags = {"--bf16", "--mixed", "--int8", "--int4", "--dia-batch",
+                   "--ecdc"}
     given = filter_flags & set(sys.argv[1:])
     # an opt-in flag alone must NOT trigger the full default suite
     full = (not given and not (optin_flags & set(sys.argv[1:]))) \
@@ -514,18 +517,20 @@ def main() -> None:
     # other lines; a transient tunnel/chip error must not fail the lines
     # above. One int8 model is reused across the B=1 and B=8 runs (one
     # param init + quantization, two traces).
-    if "--int8" in sys.argv or full:
+    for qname in ("int8", "int4"):
+        if not (f"--{qname}" in sys.argv or full):
+            continue
         try:
-            model = _make_dia(int8=True)
+            model = _make_dia(**{qname: True})
             tok_s = _time_dia(model, batch=1)
         except Exception as exc:  # transient FAILED_PRECONDITION observed
-            print(f"int8 bench skipped: {type(exc).__name__}: {exc}",
+            print(f"{qname} bench skipped: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
             if not full:
                 raise
         else:
             print(json.dumps({
-                "metric": "dia_1.6b_int8_decode_tokens_per_s",
+                "metric": f"dia_1.6b_{qname}_decode_tokens_per_s",
                 "value": round(tok_s, 1),
                 "unit": "tokens/s",
                 "vs_baseline": round(tok_s / 40.0, 2),
@@ -534,19 +539,21 @@ def main() -> None:
                 try:
                     agg = _time_dia(model, batch=bsz)
                 except Exception as exc:
-                    print(f"int8 batch-{bsz} bench skipped: "
+                    print(f"{qname} batch-{bsz} bench skipped: "
                           f"{type(exc).__name__}: {exc}", file=sys.stderr)
                     if not full:
                         raise
                     break
                 print(json.dumps({
-                    "metric": f"dia_1.6b_int8_batch{bsz}"
+                    "metric": f"dia_1.6b_{qname}_batch{bsz}"
                               "_aggregate_tokens_per_s",
                     "value": round(agg, 1),
                     "unit": "tokens/s",
                     "vs_baseline": round(agg / 40.0, 2),
                     "scaling_vs_b1": round(agg / tok_s, 2),
                 }))
+        finally:
+            model = None  # free the quantized params before the next mode
     if "--dia-batch" in sys.argv:
         # full batch matrix (opt-in: four extra big traces)
         for int8 in (True, False):

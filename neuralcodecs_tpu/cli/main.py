@@ -54,7 +54,8 @@ def _load_codec(codec: str, model_path: str | None, preset: str | None):
 
 
 def _load_dia_cli(model_path: str | None, dtype: str = "bf16",
-                  int8: bool = False, dac_model: str | None = None):
+                  int8: bool = False, int4: bool = False,
+                  dac_model: str | None = None):
     """Build the serving-ready Dia (+DAC vocoder) the tts/serve commands share."""
     import jax.numpy as jnp
 
@@ -71,7 +72,9 @@ def _load_dia_cli(model_path: str | None, dtype: str = "bf16",
         print("note: no --model given; using a randomly initialized Dia "
               "(output will be noise)", file=sys.stderr)
         model = Dia(DiaConfig(), compute_dtype=jdtype)
-    if int8:
+    if int4:
+        model.quantize_int4()
+    elif int8:
         model.quantize_int8()
     if dac_model:
         model.load_dac_model(dac_model)
@@ -160,7 +163,7 @@ def cmd_tts(args) -> int:
     from neuralcodecs_tpu.dsp.signal import AudioSignal
 
     model = _load_dia_cli(args.model, dtype=args.dtype, int8=args.int8,
-                          dac_model=args.dac_model)
+                          int4=args.int4, dac_model=args.dac_model)
     if getattr(args, "stream", False):
         # incremental decode: chunks land in the output file as they are
         # generated (time-to-first-audio ~= one segment, not the whole
@@ -312,7 +315,7 @@ def cmd_serve(args) -> int:
 
     if args.codec == "dia":
         model = _load_dia_cli(args.model, dtype=args.dtype, int8=args.int8,
-                              dac_model=args.dac_model)
+                              int4=args.int4, dac_model=args.dac_model)
     else:
         model = _load_codec(args.codec, args.model, args.preset)
     server = CodecServer(model, args.codec, host=args.host, port=args.port,
@@ -419,7 +422,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="decode-loop steps per streamed segment")
     tts.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     tts.add_argument("--int8", action="store_true",
-                     help="weight-only int8 (fastest serving config)")
+                     help="weight-only int8")
+    tts.add_argument("--int4", action="store_true",
+                     help="weight-only int4 with group scales (fastest "
+                          "serving config; logits head stays int8)")
     tts.set_defaults(fn=cmd_tts, operation="encoding")
 
     be = sub.add_parser("bench", help="run the benchmark suite")
@@ -443,7 +449,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
                     help="Dia compute dtype (serving default bf16)")
     sv.add_argument("--int8", action="store_true",
-                    help="Dia weight-only int8 (fastest serving config)")
+                    help="Dia weight-only int8")
+    sv.add_argument("--int4", action="store_true",
+                    help="Dia weight-only int4 with group scales (fastest "
+                         "serving config; logits head stays int8)")
     sv.add_argument("--dac-model", help="DAC vocoder weights for Dia")
     sv.add_argument("--batch-window-ms", type=float, default=4.0,
                     help="micro-batching window for concurrent /roundtrip "

@@ -95,6 +95,9 @@ class DenseGeneral:
         params[f"{self.prefix}.weight"] = jnp.asarray(w)
 
     def __call__(self, params: Params, x: Array) -> Array:
+        q4 = params.get(f"{self.prefix}.weight_q4")
+        if q4 is not None:
+            return self._int4_matmul(params, x, q4)
         q8 = params.get(f"{self.prefix}.weight_q8")
         if q8 is not None:
             # weight-only int8: HBM streams 1 byte/param; dequant fuses into
@@ -126,6 +129,78 @@ class DenseGeneral:
         params[f"{self.prefix}.weight_q8"] = jnp.asarray(q8.astype(np.int8))
         params[f"{self.prefix}.weight_scale"] = jnp.asarray(scale)
         del params[f"{self.prefix}.weight"]
+
+    def quantize_params_int4(self, params: Params,
+                             group_size: int = 128) -> None:
+        """Replace this kernel with nibble-packed int4 + group-wise scales.
+
+        Weight-only int4 halves the decode loop's HBM weight stream again
+        over int8 (the measured per-step bound, PERF.md). Two int4 values
+        pack into one int8 byte along the CONTRACTED dim: even rows in the
+        low nibble, odd rows in the high nibble. Group-wise scales (amax
+        over ``group_size`` consecutive in-rows, per output channel) keep
+        the 4-bit grid tight; groups fall back to per-output-channel
+        (one group) when ``group_size`` does not divide the in-dim.
+
+        Storage: ``weight_q4`` int8 [K/2, N] + ``weight_scale4`` f32
+        [K/G, N] — 0.5 + 4/G bytes per parameter. The int4 jnp dtype is
+        deliberately NOT used: this platform cannot device_put S4 layouts
+        across the jit boundary, and nibble unpacking is two VPU shifts
+        that fuse into the matmul operand read.
+        """
+        w = np.asarray(params[f"{self.prefix}.weight"], np.float32)
+        k = int(np.prod(self.in_shapes))
+        n = int(np.prod(self.out_features))
+        if k % 2:
+            # cannot nibble-pack an odd contracted dim; int8 is the
+            # next-best weight-only format (never hit by Dia's dims)
+            self.quantize_params(params)
+            return
+        w2 = w.reshape(k, n)
+        g = group_size
+        if g % 2 or k % g:
+            g = k  # per-output-channel fallback
+        wg = w2.reshape(k // g, g, n)
+        amax = np.max(np.abs(wg), axis=1, keepdims=True)       # [K/G, 1, N]
+        scale = np.maximum(amax / 7.0, 1e-12).astype(np.float32)
+        q = np.clip(np.round(wg / scale), -7, 7).astype(np.int64)
+        q = q.reshape(k, n)
+        packed = ((q[0::2] & 0xF) | ((q[1::2] & 0xF) << 4)).astype(np.uint8)
+        params[f"{self.prefix}.weight_q4"] = jnp.asarray(
+            packed.view(np.int8))
+        params[f"{self.prefix}.weight_scale4"] = jnp.asarray(scale[:, 0, :])
+        del params[f"{self.prefix}.weight"]
+
+    def _int4_matmul(self, params: Params, x: Array, q4: Array) -> Array:
+        """Dequantized matmul over nibble-packed int4 weights.
+
+        The even/odd-row split avoids re-interleaving the unpacked halves
+        (which would materialize a full-width weight tensor): contract the
+        even input rows against the low nibbles and the odd rows against
+        the high nibbles in two half-K dots that XLA schedules back to
+        back, each with shift+convert+scale fused into its operand read
+        (same fusion the int8 path relies on)."""
+        scale = params[f"{self.prefix}.weight_scale4"]
+        k2, nf = q4.shape
+        k = 2 * k2
+        n_groups = scale.shape[0]
+        g = k // n_groups
+        # arithmetic int8 shifts sign-extend each nibble
+        w_even = (jnp.left_shift(q4, 4) >> 4).astype(x.dtype)
+        w_odd = (q4 >> 4).astype(x.dtype)
+        sg = scale.astype(x.dtype)[:, None, :]               # [K/G, 1, N]
+        w_even = (w_even.reshape(n_groups, g // 2, nf) * sg).reshape(k2, nf)
+        w_odd = (w_odd.reshape(n_groups, g // 2, nf) * sg).reshape(k2, nf)
+        n_in = len(self.in_shapes)
+        batch_shape = x.shape[:x.ndim - n_in]
+        xb = x.reshape(*batch_shape, k)
+        dn = (((xb.ndim - 1,), (0,)), ((), ()))
+        y = jax.lax.dot_general(xb[..., 0::2], w_even, dimension_numbers=dn,
+                                preferred_element_type=x.dtype)
+        y = y + jax.lax.dot_general(xb[..., 1::2], w_odd,
+                                    dimension_numbers=dn,
+                                    preferred_element_type=x.dtype)
+        return y.reshape(*batch_shape, *self.out_features)
 
 
 

@@ -201,7 +201,9 @@ class Dia:
         parameters from HBM each step; int8 storage halves that again over
         bf16 (dequant happens on the VMEM side of the read). Embeddings and
         norms stay in their original dtype."""
-        params = dict(self.params)
+        # one bulk fetch: per-kernel np.asarray would pay the device->host
+        # dispatch latency ~112 times (minutes over the axon tunnel)
+        params = dict(jax.device_get(self.params))
         for layer in self.enc_layers:
             for dense in (*layer.self_attention._children,
                           layer.mlp.wi_fused, layer.mlp.wo):
@@ -211,6 +213,30 @@ class Dia:
                           *layer.cross_attention._children,
                           layer.mlp.wi_fused, layer.mlp.wo):
                 dense.quantize_params(params)
+        self.logits_dense.quantize_params(params)
+        self.params = params
+        return self
+
+    def quantize_int4(self, group_size: int = 128) -> "Dia":
+        """Weight-only int4 (nibble-packed, group-wise scales) of all
+        transformer DenseGeneral kernels; the logits head stays int8.
+
+        The decode loop is parameter-bandwidth bound (PERF.md decode-loop
+        accounting), so quartering the bytes per weight vs bf16 raises the
+        per-step ceiling again over :meth:`quantize_int8`. The logits
+        DenseGeneral projects to channels x vocab and directly shapes the
+        sampling distribution, so it keeps the finer 8-bit grid (it is
+        ~19M of the 1.6B parameters — its extra bytes are noise)."""
+        params = dict(jax.device_get(self.params))  # one bulk fetch (above)
+        for layer in self.enc_layers:
+            for dense in (*layer.self_attention._children,
+                          layer.mlp.wi_fused, layer.mlp.wo):
+                dense.quantize_params_int4(params, group_size)
+        for layer in self.dec_layers:
+            for dense in (*layer.self_attention._children,
+                          *layer.cross_attention._children,
+                          layer.mlp.wi_fused, layer.mlp.wo):
+                dense.quantize_params_int4(params, group_size)
         self.logits_dense.quantize_params(params)
         self.params = params
         return self

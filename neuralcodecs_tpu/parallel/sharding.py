@@ -93,5 +93,48 @@ def dia_param_shardings(mesh: Mesh, params: dict[str, jax.Array],
             elif name.endswith("wo.weight") and arr.ndim == 2 \
                     and arr.shape[0] % tp == 0:
                 spec = P("tp", None)
+            # Weight-only quantized kernels. int8 keeps the original kernel
+            # ndim (same specs apply to data; per-output scales shard with
+            # their output dims or replicate when the sharded dim collapsed
+            # to 1). int4 stores flat [K/2, N] nibbles + [K/G, N] group
+            # scales: column-parallel layers shard N (whole heads land on
+            # one shard because head dims divide tp); row-parallel layers
+            # (o_proj/wo contract the sharded activation) shard the packed
+            # K rows — group scales follow iff tp divides their K/G rows.
+            elif name.endswith(("q_proj.weight_q8", "k_proj.weight_q8",
+                                "v_proj.weight_q8")) and arr.ndim == 3 \
+                    and arr.shape[1] % tp == 0 and arr.shape[1] >= min_dim:
+                spec = P(None, "tp", None)
+            elif name.endswith(("q_proj.weight_scale", "k_proj.weight_scale",
+                                "v_proj.weight_scale")) and arr.ndim == 3 \
+                    and arr.shape[1] % tp == 0 and arr.shape[1] >= min_dim:
+                spec = P(None, "tp", None)
+            elif name.endswith("o_proj.weight_q8") and arr.ndim == 3 \
+                    and arr.shape[0] % tp == 0 and arr.shape[0] >= min_dim:
+                spec = P("tp", None, None)
+            elif name.endswith("wi_fused.weight_q8") and arr.ndim == 3 \
+                    and arr.shape[2] % tp == 0:
+                spec = P(None, None, "tp")
+            elif name.endswith("wi_fused.weight_scale") and arr.ndim == 3 \
+                    and arr.shape[2] % tp == 0:
+                spec = P(None, None, "tp")
+            elif name.endswith("wo.weight_q8") and arr.ndim == 2 \
+                    and arr.shape[0] % tp == 0:
+                spec = P("tp", None)
+            elif name.endswith(("q_proj.weight_q4", "k_proj.weight_q4",
+                                "v_proj.weight_q4", "q_proj.weight_scale4",
+                                "k_proj.weight_scale4",
+                                "v_proj.weight_scale4")) \
+                    and arr.ndim == 2 and arr.shape[1] % tp == 0 \
+                    and arr.shape[1] >= min_dim:
+                spec = P(None, "tp")
+            elif name.endswith(("o_proj.weight_q4", "o_proj.weight_scale4",
+                                "wo.weight_q4", "wo.weight_scale4")) \
+                    and arr.ndim == 2 and arr.shape[0] % tp == 0:
+                spec = P("tp", None)
+            # wi_fused q4/scale4 flatten (2, I) into one N axis: sharding N
+            # contiguously would split gate|up ACROSS shards (flat index
+            # c*I + i), so they stay replicated — the bytes are already
+            # quartered, and the wi dot reads x replicated anyway.
         out[name] = NamedSharding(mesh, spec)
     return out

