@@ -72,6 +72,10 @@ def _load_dia_cli(model_path: str | None, dtype: str = "bf16",
         print("note: no --model given; using a randomly initialized Dia "
               "(output will be noise)", file=sys.stderr)
         model = Dia(DiaConfig(), compute_dtype=jdtype)
+    if int4 and int8:
+        raise SystemExit(
+            "error: --int8 and --int4 are mutually exclusive; pick one "
+            "weight format (measured comparison: PERF.md 'int4 weight-only')")
     if int4:
         model.quantize_int4()
     elif int8:
@@ -424,8 +428,10 @@ def build_parser() -> argparse.ArgumentParser:
     tts.add_argument("--int8", action="store_true",
                      help="weight-only int8")
     tts.add_argument("--int4", action="store_true",
-                     help="weight-only int4 with group scales (fastest "
-                          "serving config; logits head stays int8)")
+                     help="weight-only int4 with group scales (experimental: "
+                          "measured SLOWER than --int8 at every batch size — "
+                          "the decode step is element-rate, not byte, bound; "
+                          "saves ~0.8 GB HBM vs int8. PERF.md 'int4')")
     tts.set_defaults(fn=cmd_tts, operation="encoding")
 
     be = sub.add_parser("bench", help="run the benchmark suite")
@@ -451,8 +457,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--int8", action="store_true",
                     help="Dia weight-only int8")
     sv.add_argument("--int4", action="store_true",
-                    help="Dia weight-only int4 with group scales (fastest "
-                         "serving config; logits head stays int8)")
+                    help="Dia weight-only int4 with group scales "
+                         "(experimental: measured slower than --int8 at "
+                         "every batch size; saves ~0.8 GB HBM. PERF.md "
+                         "'int4')")
     sv.add_argument("--dac-model", help="DAC vocoder weights for Dia")
     sv.add_argument("--batch-window-ms", type=float, default=4.0,
                     help="micro-batching window for concurrent /roundtrip "

@@ -130,7 +130,8 @@ def dia_param_shardings(mesh: Mesh, params: dict[str, jax.Array],
                 spec = P(None, "tp")
             elif name.endswith(("o_proj.weight_q4", "o_proj.weight_scale4",
                                 "wo.weight_q4", "wo.weight_scale4")) \
-                    and arr.ndim == 2 and arr.shape[0] % tp == 0:
+                    and arr.ndim == 2 and arr.shape[0] % tp == 0 \
+                    and arr.shape[0] >= min_dim:
                 spec = P("tp", None)
             # wi_fused q4/scale4 flatten (2, I) into one N axis: sharding N
             # contiguously would split gate|up ACROSS shards (flat index
