@@ -79,6 +79,22 @@ def _bench_forward(forward_fn, params, a, seconds: float, iters: int = 10,
 
 
 _CEILINGS: dict = {}
+_START = time.monotonic()
+# Soft wall-clock budget (VERDICT r3 #2: the round-3 driver run died at
+# rc=124 mid-suite, losing everything after the timeout). The required
+# headline lines run first and are never skipped; every optional tail
+# checks the budget and prints a skip notice to stderr instead of
+# silently vanishing when the driver kills the process.
+_BUDGET_S = float(os.environ.get("NC_BENCH_BUDGET_S", "2100"))
+
+
+def _over_budget(label: str) -> bool:
+    elapsed = time.monotonic() - _START
+    if elapsed > _BUDGET_S:
+        print(f"bench budget exceeded ({elapsed:.0f}s > {_BUDGET_S:.0f}s): "
+              f"skipping {label}", file=__import__('sys').stderr)
+        return True
+    return False
 
 
 def _measure_ceilings(dtype: str = "float32") -> dict:
@@ -136,20 +152,21 @@ def _emit(metric: str, stats: dict | float,
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / 500.0, 3),
     }
-    # Ceiling-utilization accounting (VERDICT r2 #2): what fraction of this
-    # allocation's measured roofline the config achieves, and which resource
-    # binds it. Two distinct reference points (PERF.md "Ceiling-utilization
-    # accounting" for semantics):
+    # Ceiling-utilization accounting (VERDICT r2 #2, reworked per r3 #6 —
+    # the old headline `pct_of_allocation_ceiling` saturated at 100 by
+    # construction and was dropped). Honest per-resource context:
     #   - mxu_pct: achieved FLOP rate vs a fat-dot MXU ceiling (FLOPs are
     #     physical; never exceeds 100 in practice).
     #   - stream_x: XLA cost-analysis bytes/wall vs a pure elementwise
     #     streaming ceiling. Cost-analysis bytes count LOGICAL operands,
     #     including ones fusion never materializes, so stream_x > 1.0 means
     #     the config processes logical bytes faster than ANY unfused stream
-    #     could — i.e. fusion is working and the wall sits at the
-    #     allocation's memory-op element-rate floor, not at missing fusion.
-    # The headline pct is capped at 100: "at ceiling" when either resource
-    # is saturated.
+    #     could — i.e. fusion is working.
+    # The falsifiable headline is `pct_of_modeled_ceiling`: achieved xRT vs
+    # a per-config ceiling MODELED from this session's measured per-shape
+    # dot walls (every conv/dot in the config's own jaxpr run at pure-dot
+    # speed, all elementwise work free — the DAC-44k ~110x derivation,
+    # PERF.md, generalized). It can and does report <100.
     if stats.get("tflops") is not None:
         ceil = _measure_ceilings(ceiling_dtype)
         mxu_pct = (100.0 * stats["tflops"] / ceil["mxu_tflops"]
@@ -161,11 +178,162 @@ def _emit(metric: str, stats: dict | float,
             logical_gbps=round(stats["gbps"], 1),
             mxu_pct=round(mxu_pct, 1),
             stream_x=round(stream_x, 2),
-            pct_of_allocation_ceiling=round(
-                min(100.0, max(mxu_pct, 100.0 * stream_x)), 1),
             bound="mxu" if mxu_pct >= 100.0 * stream_x else "stream",
         )
+    if stats.get("modeled_ceiling_xrt"):
+        rec.update(
+            modeled_ceiling_xrt=round(stats["modeled_ceiling_xrt"], 1),
+            pct_of_modeled_ceiling=round(
+                100.0 * xrt / stats["modeled_ceiling_xrt"], 1),
+        )
     print(json.dumps(rec))
+
+
+# --------------------------------------------------------------- modeled ceiling
+
+_DOT_WALLS: dict = {}
+
+
+def _dot_wall(m: int, k: int, n: int, dtype: str) -> float:
+    """Measured wall (s) of one [M,K]x[K,N] dot on this allocation, cached
+    per shape class. f32 dots use Precision.HIGH (the codecs' default mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (m, k, n, dtype)
+    if key in _DOT_WALLS:
+        return _DOT_WALLS[key]
+    rng = np.random.default_rng(0)
+    np_dt = np.float32 if dtype == "float32" else jnp.bfloat16
+    prec = (jax.lax.Precision.HIGH if dtype == "float32"
+            else jax.lax.Precision.DEFAULT)
+    x = jax.device_put(rng.standard_normal((m, k)).astype(np_dt))
+    w = jax.device_put(rng.standard_normal((k, n)).astype(np_dt))
+
+    def dot_fn(p, xx, _k):
+        return jax.lax.dot_general(
+            xx, p, (((1,), (0,)), ((), ())), precision=prec)
+
+    stats = _bench_forward(dot_fn, w, x, seconds=1.0, iters=5, repeats=2,
+                           needs_key=False)
+    _DOT_WALLS[key] = stats["wall_s"]
+    return _DOT_WALLS[key]
+
+
+def _dot_shape_census(fn, *args) -> dict:
+    """Equivalent-dot census of a jittable forward: every
+    ``conv_general_dilated`` and ``dot_general`` in its jaxpr reduced to a
+    pure-dot shape (M, K, N, dtype) with trip-count multipliers for scans.
+
+    conv -> M = batch x out-spatial rows, K = C_in x kernel taps, N = C_out
+    (the implicit-im2col dot the MXU actually performs); grouped convs count
+    as `groups` dots of N/groups. dot_general batch dims fold into M (the
+    element-rate model counts rows, not dispatch). while-loop bodies are
+    skipped (unknown trip count -> undercount -> the modeled ceiling stays
+    an upper bound on speed and the pct a LOWER bound on utilization)."""
+    import jax
+
+    closed = jax.make_jaxpr(fn)(*args)
+    census: dict = {}
+
+    def add(key, mult):
+        census[key] = census.get(key, 0) + mult
+
+    def walk(jaxpr, mult):
+        for eqn in jaxpr.eqns:
+            prim = eqn.primitive.name
+            if prim == "conv_general_dilated":
+                dn = eqn.params["dimension_numbers"]
+                rhs = eqn.invars[1].aval
+                out = eqn.outvars[0].aval
+                fgc = int(eqn.params.get("feature_group_count", 1))
+                rs, os_ = dn.rhs_spec, dn.out_spec
+                n = rhs.shape[rs[0]]
+                k = rhs.shape[rs[1]] * int(
+                    np.prod([rhs.shape[i] for i in rs[2:]], dtype=np.int64))
+                m = out.shape[os_[0]] * int(
+                    np.prod([out.shape[i] for i in os_[2:]], dtype=np.int64))
+                dt = str(eqn.invars[0].aval.dtype)
+                if fgc > 1:
+                    add((m, k, n // fgc, dt), mult * fgc)
+                else:
+                    add((m, k, n, dt), mult)
+            elif prim == "dot_general":
+                (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+                lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+                k = int(np.prod([lhs.shape[i] for i in lc], dtype=np.int64))
+                b = int(np.prod([lhs.shape[i] for i in lb], dtype=np.int64))
+                m = int(np.prod([s for i, s in enumerate(lhs.shape)
+                                 if i not in lc and i not in lb],
+                                dtype=np.int64))
+                n = int(np.prod([s for i, s in enumerate(rhs.shape)
+                                 if i not in rc and i not in rb],
+                                dtype=np.int64))
+                add((b * m, k, n, str(lhs.dtype)), mult)
+            elif prim == "scan":
+                walk(eqn.params["jaxpr"].jaxpr, mult * eqn.params["length"])
+            elif prim == "while":
+                continue  # unknown trips: skip (conservative, see docstring)
+            elif prim == "cond":
+                branches = eqn.params.get("branches")
+                if branches:  # count the first branch only (conservative)
+                    walk(branches[0].jaxpr, mult)
+            else:
+                for p in eqn.params.values():
+                    jx = getattr(p, "jaxpr", None)
+                    if jx is not None and hasattr(jx, "eqns"):
+                        walk(jx, mult)
+                    elif hasattr(p, "eqns"):
+                        walk(p, mult)
+
+    walk(closed.jaxpr, 1)
+    return census
+
+
+def _modeled_ceiling(fn, params, a, seconds: float, *,
+                     needs_key: bool = True) -> dict:
+    """Modeled per-config ceiling xRT: sum of this session's measured
+    per-shape dot walls over the config's own conv/dot census — i.e. the
+    xRT the config would reach if every matmul-class op ran at pure-dot
+    speed and everything else were free. Falsifiable by construction:
+    achieved xRT cannot exceed it (the real program strictly contains the
+    censused dots), so pct_of_modeled_ceiling <= ~100 and reports real
+    headroom when <100. (VERDICT r3 #6; generalizes the DAC-44k ~110x
+    derivation in PERF.md.)"""
+    import jax
+
+    if _over_budget("modeled-ceiling accounting"):
+        return {}
+    try:
+        key = jax.random.key(0) if needs_key else None
+        census = _dot_shape_census(lambda p, x: fn(p, x, key), params, a)
+        # Sub-10-MMAC dots take ~µs fused: counting them as free only
+        # RAISES the modeled ceiling (conservative direction). Of the rest,
+        # TIME only the top 12 by total MACs (each timing costs a compile
+        # over the tunnel); the tail is modeled at the BEST measured MAC
+        # rate among the timed shapes — again the conservative direction.
+        big = [((m, k, n, dt), c) for (m, k, n, dt), c in census.items()
+               if m * k * n >= 10_000_000]
+        big.sort(key=lambda item: -item[1] * item[0][0] * item[0][1]
+                 * item[0][2])
+        wall = 0.0
+        best_rate = 0.0  # MAC/s
+        for (m, k, n, dt), count in big[:12]:
+            dtype = "float32" if dt == "float32" else "bfloat16"
+            w = _dot_wall(m, k, n, dtype)
+            wall += count * w
+            best_rate = max(best_rate, m * k * n / w)
+        for (m, k, n, dt), count in big[12:]:
+            wall += count * m * k * n / best_rate
+        if wall <= 0.0:
+            return {}
+        batch = a.shape[0]
+        return {"modeled_ceiling_xrt": seconds * batch / wall,
+                "modeled_census_shapes": len(census)}
+    except Exception as exc:  # accounting must never fail the bench
+        print(f"modeled-ceiling accounting skipped: "
+              f"{type(exc).__name__}: {exc}", file=__import__('sys').stderr)
+        return {}
 
 
 def bench_snac(compute_dtype=None, decoder_dtype=None, batch: int = 1) -> dict:
@@ -184,9 +352,11 @@ def bench_snac(compute_dtype=None, decoder_dtype=None, batch: int = 1) -> dict:
     a[:, :n, 0] = 0.25 * rng.standard_normal((batch, n))
     a = jax.device_put(a)
     chunks = model._auto_chunks(padded)
-    return _bench_forward(
-        lambda p, x, k: model._forward_chunked_fn(p, x, k, chunks)[0],
-        model.params, a, seconds, iters=10 if batch == 1 else 5)
+    fwd = lambda p, x, k: model._forward_chunked_fn(p, x, k, chunks)[0]
+    stats = _bench_forward(fwd, model.params, a, seconds,
+                           iters=10 if batch == 1 else 5)
+    stats.update(_modeled_ceiling(fwd, model.params, a, seconds))
+    return stats
 
 
 def bench_dac(decoder_dtype=None, batch: int = 1) -> dict:
@@ -204,10 +374,12 @@ def bench_dac(decoder_dtype=None, batch: int = 1) -> dict:
     a[:, :n, 0] = 0.25 * rng.standard_normal((batch, n))
     a = jax.device_put(a)
     chunks = model._auto_chunks(padded // cfg.hop_length)
-    return _bench_forward(
-        lambda p, x, k: model._forward_chunked_fn(p, x, None, chunks)["audio"],
-        model.params, a, seconds, iters=5 if batch == 1 else 3,
-        needs_key=False)
+    fwd = lambda p, x, k: model._forward_chunked_fn(p, x, None, chunks)["audio"]
+    stats = _bench_forward(fwd, model.params, a, seconds,
+                           iters=5 if batch == 1 else 3, needs_key=False)
+    stats.update(_modeled_ceiling(fwd, model.params, a, seconds,
+                                  needs_key=False))
+    return stats
 
 
 def bench_encodec(decoder_dtype=None) -> dict:
@@ -230,8 +402,11 @@ def bench_encodec(decoder_dtype=None) -> dict:
         out = model.decoder(params, emb.astype(model.decoder_dtype))
         return out.astype(jnp.float32)
 
-    return _bench_forward(fwd, model.params, a, seconds, iters=5,
-                          needs_key=False)
+    stats = _bench_forward(fwd, model.params, a, seconds, iters=5,
+                           needs_key=False)
+    stats.update(_modeled_ceiling(fwd, model.params, a, seconds,
+                                  needs_key=False))
+    return stats
 
 
 def bench_encodec48(decoder_dtype=None, batch: int = 4) -> dict:
@@ -261,8 +436,11 @@ def bench_encodec48(decoder_dtype=None, batch: int = 4) -> dict:
                             .astype(model.decoder_dtype))
         return out.astype(jnp.float32)
 
-    return _bench_forward(fwd, model.params, a, seconds, iters=10,
-                          needs_key=False)
+    stats = _bench_forward(fwd, model.params, a, seconds, iters=10,
+                           needs_key=False)
+    stats.update(_modeled_ceiling(fwd, model.params, a, seconds,
+                                  needs_key=False))
+    return stats
 
 
 def bench_dsp() -> dict:
@@ -293,7 +471,9 @@ def bench_dsp() -> dict:
         mel = mel_spectrogram(y, dst_sr, n_mels=80)
         return jnp.sum(mel) + jnp.sum(y)
 
-    return _bench_forward(fwd, {}, a, seconds, iters=5, needs_key=False)
+    stats = _bench_forward(fwd, {}, a, seconds, iters=5, needs_key=False)
+    stats.update(_modeled_ceiling(fwd, {}, a, seconds, needs_key=False))
+    return stats
 
 
 def bench_ecdc_lm(seconds: float = 2.0, batch: int = 16) -> dict:
@@ -341,6 +521,110 @@ def bench_ecdc_lm(seconds: float = 2.0, batch: int = 16) -> dict:
     }
 
 
+_STREAM_PROBES: dict = {}
+
+
+def _dia_stream_probe(fmt: str = "int8") -> dict:
+    """Same-session weight-stream roofline for the Dia decode regime:
+    18 chained [B,K]x[K,N] weight-``fmt`` layers inside one while_loop
+    (the PERF.md fused-QKV methodology — per-op overhead and DMA overlap
+    behave like the real decode loop). Reports the achieved GB/s over the
+    ACTUAL device bytes of the weights (bf16 weights are pre-cast before
+    upload, fixing the retired ``_int4_ab.py``'s f32-on-device baseline).
+
+    Emitted next to every Dia bench line (VERDICT r3 #1) so a slow Dia
+    number is self-diagnosing: if the probe's GB/s is also down, the
+    session's weight-streaming regime is degraded (allocation variance);
+    if the probe is at the usual ~500-900 GB/s and the metric is not, the
+    regression is in the model code."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    if fmt in _STREAM_PROBES:
+        return _STREAM_PROBES[fmt]
+    L, B, K, N, G = 18, 2, 2048, 8192, 128
+    ITERS = 50
+    DT = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((L, K, N)).astype(np.float32) * 0.02
+    x0 = rng.standard_normal((B, K)).astype(np.float32)
+
+    def proj(x, n):
+        return x.reshape(B, K, N // K).mean(-1) if n == N else x
+
+    if fmt == "bf16":
+        args = [jnp.asarray(w, DT)]  # actual bf16 bytes on device
+
+        def run(x, wl):
+            def body(c):
+                i, xx = c
+                y = jax.lax.dot_general(xx, wl[i], (((1,), (0,)), ((), ())),
+                                        preferred_element_type=DT)
+                return i + 1, proj(y, N) * (1 + 1e-6)
+            return jax.lax.while_loop(lambda c: c[0] < L, body, (0, x))[1]
+    elif fmt == "int8":
+        amax = np.abs(w).max(axis=1, keepdims=True)
+        s8 = (amax / 127.0).astype(np.float32)
+        q8 = np.clip(np.round(w / s8), -127, 127).astype(np.int8)
+        args = [jnp.asarray(q8), jnp.asarray(s8)]
+
+        def run(x, q, s):
+            def body(c):
+                i, xx = c
+                wi = q[i].astype(DT) * s[i].astype(DT)
+                y = jax.lax.dot_general(xx, wi, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=DT)
+                return i + 1, proj(y, N) * (1 + 1e-6)
+            return jax.lax.while_loop(lambda c: c[0] < L, body, (0, x))[1]
+    else:  # int4 nibble-packed, group-wise scales (the shipped layout)
+        wg = w.reshape(L, K // G, G, N)
+        amax = np.abs(wg).max(axis=2, keepdims=True)
+        s4 = np.maximum(amax / 7.0, 1e-12).astype(np.float32)
+        q4 = np.clip(np.round(wg / s4), -7, 7).astype(np.int64).reshape(
+            L, K, N)
+        packed = ((q4[:, 0::2] & 0xF) | ((q4[:, 1::2] & 0xF) << 4)).astype(
+            np.uint8).view(np.int8)
+        args = [jnp.asarray(packed), jnp.asarray(s4[:, :, 0, :])]
+
+        def run(x, p, s):
+            def body(c):
+                i, xx = c
+                pi = p[i]
+                lo = (jnp.left_shift(pi, 4) >> 4).astype(DT)
+                hi = (pi >> 4).astype(DT)
+                sg = s[i].astype(DT)[:, None, :]
+                wl = (lo.reshape(K // G, G // 2, N) * sg).reshape(K // 2, N)
+                wh = (hi.reshape(K // G, G // 2, N) * sg).reshape(K // 2, N)
+                y = jax.lax.dot_general(
+                    xx[:, 0::2], wl, (((1,), (0,)), ((), ())),
+                    preferred_element_type=DT)
+                y = y + jax.lax.dot_general(
+                    xx[:, 1::2], wh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=DT)
+                return i + 1, proj(y, N) * (1 + 1e-6)
+            return jax.lax.while_loop(lambda c: c[0] < L, body, (0, x))[1]
+
+    f = jax.jit(run)
+    x = jnp.asarray(x0, DT)
+    y = f(x, *args)
+    float(jnp.sum(y.astype(jnp.float32)))  # warm + honest fetch
+    t0 = _time.perf_counter()
+    acc = x
+    for _ in range(ITERS):
+        acc = f(acc * (1 + 1e-9), *args)
+    float(jnp.sum(acc.astype(jnp.float32)))
+    dt = (_time.perf_counter() - t0) / ITERS
+    gb = sum(int(a.nbytes) for a in args) / 1e9
+    _STREAM_PROBES[fmt] = {"weight_stream_gbps": round(gb / dt, 1),
+                           "probe_ms_per_iter": round(dt * 1e3, 2)}
+    print(f"weight-stream probe ({fmt}): {gb / dt:.0f} GB/s over "
+          f"{gb:.2f} GB of device weight bytes, {dt * 1e3:.2f} ms/iter",
+          file=__import__('sys').stderr)
+    return _STREAM_PROBES[fmt]
+
+
 def _make_dia(int8: bool = False, int4: bool = False):
     import jax.numpy as jnp
 
@@ -354,13 +638,14 @@ def _make_dia(int8: bool = False, int4: bool = False):
     return model
 
 
-def _time_dia(model, batch: int = 1, max_tokens: int = 128) -> float:
+def _time_dia(model, batch: int = 1, max_tokens: int = 128) -> dict:
     """Aggregate tokens/s for a batch of prompts through one generation
     call. The decode loop streams the full parameter set from HBM once per
     STEP regardless of batch (weight-bandwidth bound, PERF.md), so
     aggregate tokens/s should scale near-linearly in B until activations
     and KV reads take over. Best of 3 timed runs (single-run tunnel
-    variance is ~±20%)."""
+    variance is ~±20%). Returns {tok_s, ms_per_step} — the per-step wall
+    makes every emitted line self-diagnosing (VERDICT r3 #1)."""
     import time as _time
 
     texts = [f"[S1]This is benchmark sentence number {i} for the decoder "
@@ -372,10 +657,11 @@ def _time_dia(model, batch: int = 1, max_tokens: int = 128) -> float:
         start = _time.perf_counter()
         model.generate_codes(texts, max_tokens=max_tokens, seed=seed)
         best = min(best, _time.perf_counter() - start)
-    return steps * batch / best
+    return {"tok_s": steps * batch / best,
+            "ms_per_step": 1000.0 * best / steps}
 
 
-def bench_dia() -> float:
+def bench_dia() -> dict:
     """Full-size Dia 1.6B decode throughput in tokens/s (bf16 compute).
 
     The reference's one published benchmark: ~40 tokens/s on an RTX 3090
@@ -383,11 +669,35 @@ def bench_dia() -> float:
     return _time_dia(_make_dia(int8=False))
 
 
-def bench_dia_int8() -> float:
+def bench_dia_int8() -> dict:
     """Dia 1.6B decode with weight-only int8 kernels (bf16 activations):
     the decode loop is parameter-bandwidth bound, so halving the bytes per
     weight nearly doubles tokens/s."""
     return _time_dia(_make_dia(int8=True))
+
+
+def _emit_dia(metric: str, timing: dict, fmt: str,
+              extra: dict | None = None) -> None:
+    """One Dia tokens/s line with self-diagnosing session context:
+    ms_per_step plus the same-session weight-stream roofline probe
+    (VERDICT r3 #1 — round-3's headline/driver-record 3-5x discrepancy was
+    undiagnosable because the Dia lines carried no per-step or roofline
+    context)."""
+    rec = {
+        "metric": metric,
+        "value": round(timing["tok_s"], 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(timing["tok_s"] / 40.0, 2),
+        "ms_per_step": round(timing["ms_per_step"], 2),
+    }
+    try:
+        rec.update(_dia_stream_probe(fmt))
+    except Exception as exc:  # context is best-effort
+        print(f"weight-stream probe ({fmt}) failed: "
+              f"{type(exc).__name__}: {exc}", file=__import__('sys').stderr)
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
 
 
 def probe_real_weights() -> dict | None:
@@ -424,11 +734,18 @@ def probe_real_weights() -> dict | None:
 
 
 def main() -> None:
-    """Default run (no flags) emits the full metric set — the Dia tokens/s
-    headline FIRST (the driver parses line 1), then every codec/DSP xRT line
-    against the >500x north star. Flags act as filters for quick single-bench
-    runs; ``--bf16``/``--mixed``/``--int8`` stay opt-in because the remote
-    bf16 compile is slow (~400 s over the axon tunnel).
+    """Default run (no flags) emits the full metric set in PRIORITY order
+    (VERDICT r3 #2 — a driver timeout must only ever cost the tail):
+    the Dia bf16 tokens/s headline FIRST (the driver parses line 1), the
+    real-weights probe, the int8 serving set (B=1/8/16/32, each line with
+    ms_per_step + the session weight-stream roofline), then the codec/DSP
+    xRT lines against the >500x north star with modeled-ceiling
+    accounting. A soft wall-clock budget (NC_BENCH_BUDGET_S, default
+    2100 s) skips remaining optional lines with a stderr notice instead of
+    dying at rc=124 mid-suite. Flags act as filters for quick single-bench
+    runs; ``--bf16``/``--mixed``/``--int8``/``--int4`` stay opt-in
+    (``--int4`` because the driver record shows it slower than int8 at
+    every batch — PERF.md "int4 weight-only").
     """
     import sys
 
@@ -470,26 +787,71 @@ def main() -> None:
         return full or flag in given
 
     if want("--dia"):
-        tok_s = bench_dia()
-        print(json.dumps({
-            "metric": "dia_1.6b_decode_tokens_per_s",
-            "value": round(tok_s, 1),
-            "unit": "tokens/s",
-            "vs_baseline": round(tok_s / 40.0, 2),  # ref: 40 tok/s, RTX 3090
-        }))
-    if want("--snac"):
+        _emit_dia("dia_1.6b_decode_tokens_per_s", bench_dia(), "bf16")
+    if full:
+        # real published-weights probe runs EARLY (VERDICT r3 #2/#7: in
+        # round 3 it was last and a driver timeout erased it). Fail-silent:
+        # emits a metric line when the env has egress, a stderr skip
+        # notice when it does not — one of the two is always in the record.
+        probe = probe_real_weights()
+        if probe is not None:
+            print(json.dumps({
+                "metric": "snac24_real_ckpt_roundtrip_snr_db",
+                "value": probe["snr_db"],
+                "unit": "dB",
+                "vs_baseline": 1.0,
+                "codes_sha256_prefix": probe["codes_sha256_prefix"],
+            }))
+    # weight-only int8 Dia (the fast serving config) + batched serving
+    # aggregates (VERDICT r2 #1). Runs AHEAD of the codec tails now: the
+    # round-3 ordering let a driver timeout eat the serving headline.
+    # int4 is opt-in only — the driver record shows it slower than int8
+    # at every batch size (VERDICT r3 #3, PERF.md "int4 weight-only").
+    for qname in ("int8", "int4"):
+        if not (f"--{qname}" in sys.argv or (full and qname == "int8")):
+            continue
+        try:
+            model = _make_dia(**{qname: True})
+            timing = _time_dia(model, batch=1)
+        except Exception as exc:  # transient FAILED_PRECONDITION observed
+            print(f"{qname} bench skipped: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            if not full:
+                raise
+        else:
+            _emit_dia(f"dia_1.6b_{qname}_decode_tokens_per_s", timing, qname)
+            for bsz in (8, 16, 32):
+                if _over_budget(f"dia {qname} batch-{bsz}"):
+                    break
+                try:
+                    agg = _time_dia(model, batch=bsz)
+                except Exception as exc:
+                    print(f"{qname} batch-{bsz} bench skipped: "
+                          f"{type(exc).__name__}: {exc}", file=sys.stderr)
+                    if not full:
+                        raise
+                    break
+                _emit_dia(
+                    f"dia_1.6b_{qname}_batch{bsz}_aggregate_tokens_per_s",
+                    agg, qname,
+                    extra={"scaling_vs_b1":
+                           round(agg["tok_s"] / timing["tok_s"], 2)})
+        finally:
+            model = None  # free the quantized params before the next mode
+    if want("--snac") and not _over_budget("snac"):
         _emit("snac24_roundtrip_xRT", bench_snac())
-    if want("--dac"):
+    if want("--dac") and not _over_budget("dac"):
         _emit("dac44_roundtrip_xRT", bench_dac())
-    if want("--enc24"):
+    if want("--enc24") and not _over_budget("enc24"):
         _emit("encodec24_roundtrip_xRT", bench_encodec())
-    if want("--enc48"):
+    if want("--enc48") and not _over_budget("enc48"):
         _emit("encodec48_stereo_roundtrip_xRT", bench_encodec48())
-        _emit("encodec48_stereo_batch64_aggregate_xRT",
-              bench_encodec48(batch=64))
-    if want("--dsp"):
+        if not _over_budget("enc48 batch-64"):
+            _emit("encodec48_stereo_batch64_aggregate_xRT",
+                  bench_encodec48(batch=64))
+    if want("--dsp") and not _over_budget("dsp"):
         _emit("audiotools_dsp_pipeline_xRT", bench_dsp())
-    if want("--aggregate"):
+    if want("--aggregate") and not _over_budget("codec aggregates"):
         # serving-batch aggregate throughput: per-stream work is partially
         # latency-bound, so a batch of streams raises per-chip throughput
         _emit("snac24_batch8_aggregate_xRT", bench_snac(batch=8))
@@ -510,50 +872,6 @@ def main() -> None:
         _emit("encodec48_mixed_roundtrip_xRT",
               bench_encodec48(decoder_dtype="bfloat16"),
               ceiling_dtype="bfloat16")
-    # weight-only int8 Dia (fastest serving config) + the batched serving
-    # aggregate (VERDICT r2 #1: the decode loop is weight-bandwidth bound,
-    # so batch-B generation amortizes the whole parameter stream): part of
-    # the default record, printed LAST so a driver timeout cannot displace
-    # other lines; a transient tunnel/chip error must not fail the lines
-    # above. One int8 model is reused across the B=1 and B=8 runs (one
-    # param init + quantization, two traces).
-    for qname in ("int8", "int4"):
-        if not (f"--{qname}" in sys.argv or full):
-            continue
-        try:
-            model = _make_dia(**{qname: True})
-            tok_s = _time_dia(model, batch=1)
-        except Exception as exc:  # transient FAILED_PRECONDITION observed
-            print(f"{qname} bench skipped: {type(exc).__name__}: {exc}",
-                  file=sys.stderr)
-            if not full:
-                raise
-        else:
-            print(json.dumps({
-                "metric": f"dia_1.6b_{qname}_decode_tokens_per_s",
-                "value": round(tok_s, 1),
-                "unit": "tokens/s",
-                "vs_baseline": round(tok_s / 40.0, 2),
-            }))
-            for bsz in (8, 16, 32):
-                try:
-                    agg = _time_dia(model, batch=bsz)
-                except Exception as exc:
-                    print(f"{qname} batch-{bsz} bench skipped: "
-                          f"{type(exc).__name__}: {exc}", file=sys.stderr)
-                    if not full:
-                        raise
-                    break
-                print(json.dumps({
-                    "metric": f"dia_1.6b_{qname}_batch{bsz}"
-                              "_aggregate_tokens_per_s",
-                    "value": round(agg, 1),
-                    "unit": "tokens/s",
-                    "vs_baseline": round(agg / 40.0, 2),
-                    "scaling_vs_b1": round(agg / tok_s, 2),
-                }))
-        finally:
-            model = None  # free the quantized params before the next mode
     if "--dia-batch" in sys.argv:
         # full batch matrix (opt-in: four extra big traces)
         for int8 in (True, False):
@@ -562,13 +880,11 @@ def main() -> None:
             b1 = _time_dia(model, batch=1)
             for b in (4, 8):
                 agg = _time_dia(model, batch=b)
-                print(json.dumps({
-                    "metric": f"dia_1.6b_{name}_batch{b}_aggregate_tokens_per_s",
-                    "value": round(agg, 1),
-                    "unit": "tokens/s",
-                    "vs_baseline": round(agg / 40.0, 2),
-                    "scaling_vs_b1": round(agg / b1, 2),
-                }))
+                _emit_dia(
+                    f"dia_1.6b_{name}_batch{b}_aggregate_tokens_per_s",
+                    agg, name,
+                    extra={"scaling_vs_b1":
+                           round(agg["tok_s"] / b1["tok_s"], 2)})
     if "--ecdc" in sys.argv:
         # LM-coded .ecdc throughput, single stream vs batched LM loop
         stats = bench_ecdc_lm()
@@ -592,19 +908,5 @@ def main() -> None:
             "vs_baseline": round(
                 stats["batch_decode_aggregate_xrt"] / 500.0, 3),
         }))
-    if full:
-        # last line, fail-silent: real published-weights round-trip, only
-        # possible when the bench environment has network egress
-        probe = probe_real_weights()
-        if probe is not None:
-            print(json.dumps({
-                "metric": "snac24_real_ckpt_roundtrip_snr_db",
-                "value": probe["snr_db"],
-                "unit": "dB",
-                "vs_baseline": 1.0,
-                "codes_sha256_prefix": probe["codes_sha256_prefix"],
-            }))
-
-
 if __name__ == "__main__":
     main()

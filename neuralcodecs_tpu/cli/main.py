@@ -55,7 +55,7 @@ def _load_codec(codec: str, model_path: str | None, preset: str | None):
 
 def _load_dia_cli(model_path: str | None, dtype: str = "bf16",
                   int8: bool = False, int4: bool = False,
-                  dac_model: str | None = None):
+                  kv_int8: bool = False, dac_model: str | None = None):
     """Build the serving-ready Dia (+DAC vocoder) the tts/serve commands share."""
     import jax.numpy as jnp
 
@@ -80,6 +80,8 @@ def _load_dia_cli(model_path: str | None, dtype: str = "bf16",
         model.quantize_int4()
     elif int8:
         model.quantize_int8()
+    if kv_int8:
+        model.enable_int8_kv_cache()
     if dac_model:
         model.load_dac_model(dac_model)
     else:
@@ -167,7 +169,8 @@ def cmd_tts(args) -> int:
     from neuralcodecs_tpu.dsp.signal import AudioSignal
 
     model = _load_dia_cli(args.model, dtype=args.dtype, int8=args.int8,
-                          int4=args.int4, dac_model=args.dac_model)
+                          int4=args.int4, kv_int8=args.kv_int8,
+                          dac_model=args.dac_model)
     if getattr(args, "stream", False):
         # incremental decode: chunks land in the output file as they are
         # generated (time-to-first-audio ~= one segment, not the whole
@@ -319,7 +322,8 @@ def cmd_serve(args) -> int:
 
     if args.codec == "dia":
         model = _load_dia_cli(args.model, dtype=args.dtype, int8=args.int8,
-                              int4=args.int4, dac_model=args.dac_model)
+                              int4=args.int4, kv_int8=args.kv_int8,
+                              dac_model=args.dac_model)
     else:
         model = _load_codec(args.codec, args.model, args.preset)
     server = CodecServer(model, args.codec, host=args.host, port=args.port,
@@ -432,6 +436,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "measured SLOWER than --int8 at every batch size — "
                           "the decode step is element-rate, not byte, bound; "
                           "saves ~0.8 GB HBM vs int8. PERF.md 'int4')")
+    tts.add_argument("--kv-int8", action="store_true",
+                     help="int8 decode KV cache: halves the per-step "
+                          "masked K/V read that dominates long-bucket "
+                          "batched serving (PERF.md 'int8 KV cache')")
     tts.set_defaults(fn=cmd_tts, operation="encoding")
 
     be = sub.add_parser("bench", help="run the benchmark suite")
@@ -461,6 +469,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(experimental: measured slower than --int8 at "
                          "every batch size; saves ~0.8 GB HBM. PERF.md "
                          "'int4')")
+    sv.add_argument("--kv-int8", action="store_true",
+                    help="Dia int8 decode KV cache: halves the per-step "
+                         "masked K/V read that dominates long-bucket "
+                         "batched serving (PERF.md 'int8 KV cache')")
     sv.add_argument("--dac-model", help="DAC vocoder weights for Dia")
     sv.add_argument("--batch-window-ms", type=float, default=4.0,
                     help="micro-batching window for concurrent /roundtrip "

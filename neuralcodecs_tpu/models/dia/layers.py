@@ -227,23 +227,86 @@ class MlpBlock:
         return self.wo(params, jax.nn.silu(gate) * up)
 
 
+def _quantize_kv(x: Array) -> tuple[Array, Array]:
+    """Per-(batch, position, head) int8 quantization over the head dim:
+    scale = amax/127 so the 128-dim vector keeps ~0.8% relative grid error."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = amax / 127.0
+    q = jnp.round(x32 / jnp.maximum(scale, 1e-12)[..., None])
+    return q.astype(jnp.int8), scale
+
+
 class KVCacheSlot(NamedTuple):
-    """Preallocated decode cache: [B, maxT, Nkv, Dh] pair."""
+    """Preallocated decode cache: [B, maxT, Nkv, Dh] pair.
+
+    Optionally int8-quantized (KVCache.cs:9-105 holds f32; the int8 form is
+    a TPU serving optimization): the decode loop reads the FULL static
+    cache every step (masked), so at the model-ceiling generation bucket
+    (3072) the per-step K/V read is ~450 MB at bf16 and dominates batched
+    serving (PERF.md "Generation-buffer bucket cost", measured 2.45x).
+    Quantizing at cache-write (per-position/head scales over the head dim)
+    halves those bytes; the dequant multiply fuses into the attention
+    einsum's operand read exactly like the weight-only int8 path."""
 
     k: Array
     v: Array
+    k_scale: Array | None = None  # [B, maxT, Nkv] f32, int8 cache only
+    v_scale: Array | None = None
 
     @staticmethod
     def zeros(batch: int, max_len: int, n_kv: int, head_dim: int,
-              dtype=jnp.float32) -> "KVCacheSlot":
+              dtype=jnp.float32, quantized: bool = False) -> "KVCacheSlot":
         shape = (batch, max_len, n_kv, head_dim)
+        if quantized:
+            sshape = (batch, max_len, n_kv)
+            return KVCacheSlot(jnp.zeros(shape, jnp.int8),
+                               jnp.zeros(shape, jnp.int8),
+                               jnp.zeros(sshape, jnp.float32),
+                               jnp.zeros(sshape, jnp.float32))
         return KVCacheSlot(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     def update(self, k_new: Array, v_new: Array, index) -> "KVCacheSlot":
         """Write step slice at time `index` (KVCache.Update :74-93)."""
+        if self.k_scale is not None:
+            qk, sk = _quantize_kv(k_new)
+            qv, sv = _quantize_kv(v_new)
+            return KVCacheSlot(
+                jax.lax.dynamic_update_slice_in_dim(self.k, qk, index, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(self.v, qv, index, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(self.k_scale, sk, index,
+                                                    axis=1),
+                jax.lax.dynamic_update_slice_in_dim(self.v_scale, sv, index,
+                                                    axis=1))
         k = jax.lax.dynamic_update_slice_in_dim(self.k, k_new, index, axis=1)
         v = jax.lax.dynamic_update_slice_in_dim(self.v, v_new, index, axis=1)
         return KVCacheSlot(k, v)
+
+    def prefill_write(self, k: Array, v: Array) -> "KVCacheSlot":
+        """Write the whole prompt block at position 0 (prefill pass)."""
+        if self.k_scale is not None:
+            qk, sk = _quantize_kv(k)
+            qv, sv = _quantize_kv(v)
+            return KVCacheSlot(
+                jax.lax.dynamic_update_slice_in_dim(self.k, qk, 0, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(self.v, qv, 0, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(self.k_scale, sk, 0,
+                                                    axis=1),
+                jax.lax.dynamic_update_slice_in_dim(self.v_scale, sv, 0,
+                                                    axis=1))
+        return KVCacheSlot(
+            jax.lax.dynamic_update_slice_in_dim(self.k, k, 0, axis=1),
+            jax.lax.dynamic_update_slice_in_dim(self.v, v, 0, axis=1))
+
+    def kv(self, dtype) -> tuple[Array, Array]:
+        """(k, v) for the attention read, dequantized if stored int8 —
+        convert+scale fuse into the einsum operand read, so HBM streams
+        the int8 bytes plus one f32 scale per 128-dim vector."""
+        if self.k_scale is None:
+            return self.k, self.v
+        k = self.k.astype(dtype) * self.k_scale.astype(dtype)[..., None]
+        v = self.v.astype(dtype) * self.v_scale.astype(dtype)[..., None]
+        return k, v
 
 
 class Attention:
@@ -279,9 +342,7 @@ class Attention:
         v = self.v_proj(params, x)
         new_cache = cache
         if cache is not None and prefill:
-            new_cache = KVCacheSlot(
-                jax.lax.dynamic_update_slice_in_dim(cache.k, k, 0, axis=1),
-                jax.lax.dynamic_update_slice_in_dim(cache.v, v, 0, axis=1))
+            new_cache = cache.prefill_write(k, v)
         out = sdpa_gqa(q, k, v, mask)
         return self.o_proj(params, out), new_cache
 
@@ -293,7 +354,8 @@ class Attention:
         k = apply_rope(self.k_proj(params, x), position, self.timescale)
         v = self.v_proj(params, x)
         cache = cache.update(k, v, index)
-        out = sdpa_gqa(q, cache.k, cache.v, mask)
+        ck, cv = cache.kv(q.dtype)
+        out = sdpa_gqa(q, ck, cv, mask)
         return self.o_proj(params, out), cache
 
     # cross-attention against a precomputed cache

@@ -165,7 +165,22 @@ class Dia:
             "decoder.logits_dense", (cfg.decoder.n_embd,),
             (cfg.data.channels, cfg.tgt_vocab_size))
         self.dac = None  # vocoder bridge, set via load_dac_model/set_dac_model
+        # int8 self-attention KV cache (serving optimization, see
+        # KVCacheSlot): threaded to the jitted paths as an explicit static
+        # argument — NOT read off `self` inside the trace — so toggling it
+        # after a generate call can never hit a stale executable.
+        self.kv_cache_int8 = False
         self.params: Params = params if params is not None else self.init_params(seed)
+
+    def enable_int8_kv_cache(self, enabled: bool = True) -> "Dia":
+        """Store the decode self-attention KV cache as int8 (+ per-position
+        scales). Halves the dominant per-step HBM read of long-bucket
+        batched serving (the bucket-3072 serve default reads ~450 MB/step
+        of masked K/V at bf16 — measured 2.45x cost, PERF.md); quality
+        impact is bounded by the ~0.8% per-vector grid error and covered
+        by the greedy-match test (tests/test_dia.py)."""
+        self.kv_cache_int8 = bool(enabled)
+        return self
 
     # ------------------------------------------------------------------ params
 
@@ -329,7 +344,7 @@ class Dia:
 
     def _start_state(self, params: Params, text_tokens: Array, prefill: Array,
                      prefill_steps: Array, rng: Array, row_active: Array,
-                     *, max_tokens: int):
+                     *, max_tokens: int, kv_int8: bool = False):
         """Encoder + cross caches + decoder prefill -> initial loop state.
 
         Returns ``(carry, cross_caches, cross_mask)`` where ``carry`` is the
@@ -364,7 +379,7 @@ class Dia:
         d = cfg.decoder
         self_caches = [
             KVCacheSlot.zeros(2 * b, max_tokens, d.kv_heads, d.gqa_head_dim,
-                              self.compute_dtype)
+                              self.compute_dtype, quantized=kv_int8)
             for _ in self.dec_layers
         ]
         generated = jnp.full((b, max_tokens, channels), -1, jnp.int32)
@@ -500,11 +515,13 @@ class Dia:
         return jax.lax.while_loop(cond, body, carry)
 
     @functools.partial(jax.jit, static_argnames=("self", "max_tokens", "temperature",
-                                                 "top_k", "top_p", "cfg_scale"))
+                                                 "top_k", "top_p", "cfg_scale",
+                                                 "kv_int8"))
     def _generate_jit(self, params: Params, text_tokens: Array, prefill: Array,
                       prefill_steps: Array, rng: Array, token_limit: Array,
                       row_active: Array, *, max_tokens: int, temperature: float,
-                      top_k: int, top_p: float, cfg_scale: float):
+                      top_k: int, top_p: float, cfg_scale: float,
+                      kv_int8: bool = False):
         """The whole generation pipeline on device.
 
         text_tokens: [B, S] int; prefill: [B, Tpre, C] delayed prompt tokens;
@@ -519,7 +536,7 @@ class Dia:
         """
         carry, cross_caches, cross_mask = self._start_state(
             params, text_tokens, prefill, prefill_steps, rng, row_active,
-            max_tokens=max_tokens)
+            max_tokens=max_tokens, kv_int8=kv_int8)
         # stop is the static python int max_tokens - 1, so this traces the
         # exact same while_loop as before the streaming split
         (final_step, generated, _, finished, _, _, _, _) = self._run_loop(
@@ -533,14 +550,17 @@ class Dia:
         lengths = jnp.clip(finished - prefill_steps, 0)
         return generated, finished, lengths
 
-    @functools.partial(jax.jit, static_argnames=("self", "max_tokens"))
+    @functools.partial(jax.jit, static_argnames=("self", "max_tokens",
+                                                 "kv_int8"))
     def _generate_start_jit(self, params: Params, text_tokens: Array,
                             prefill: Array, prefill_steps: Array, rng: Array,
-                            row_active: Array, *, max_tokens: int):
+                            row_active: Array, *, max_tokens: int,
+                            kv_int8: bool = False):
         """Streaming entry: encoder + prefill only, returning the resumable
         loop carry (KV caches stay on device across segment calls)."""
         return self._start_state(params, text_tokens, prefill, prefill_steps,
-                                 rng, row_active, max_tokens=max_tokens)
+                                 rng, row_active, max_tokens=max_tokens,
+                                 kv_int8=kv_int8)
 
     @functools.partial(jax.jit, static_argnames=("self", "max_tokens",
                                                  "temperature", "top_k",
@@ -640,7 +660,8 @@ class Dia:
             temperature=float(cfg.temperature if temperature is None else temperature),
             top_k=int(cfg.top_k if top_k is None else top_k),
             top_p=float(cfg.top_p if top_p is None else top_p),
-            cfg_scale=float(cfg.cfg_scale if cfg_scale is None else cfg_scale))
+            cfg_scale=float(cfg.cfg_scale if cfg_scale is None else cfg_scale),
+            kv_int8=self.kv_cache_int8)
 
         # drop batch-padding rows before any length accounting
         generated = np.asarray(generated)[:b_real]  # forces completion
@@ -768,7 +789,7 @@ class Dia:
         carry, cross_caches, cross_mask = self._generate_start_jit(
             self.params, jnp.asarray(text_arr), delayed, steps_dev,
             jax.random.key(seed), jnp.ones((1,), bool),
-            max_tokens=int(buffer_len))
+            max_tokens=int(buffer_len), kv_int8=self.kv_cache_int8)
         token_limit = jnp.int32(requested)
         start = int(prefill_steps[0])
         emitted = 0

@@ -337,3 +337,96 @@ def test_dia_stream_audio_matches_generate(rng):
     streamed = np.concatenate(chunks)
     assert streamed.shape == np.asarray(ref).shape
     np.testing.assert_allclose(streamed, np.asarray(ref), atol=1e-5, rtol=0)
+
+
+def test_kv_quantize_roundtrip_error_bound(rng):
+    """Per-(position, head) int8 KV quantization keeps every element within
+    half a grid step (amax/254) of the original."""
+    from neuralcodecs_tpu.models.dia.layers import _quantize_kv
+
+    x = jnp.asarray(rng.standard_normal((2, 5, 3, 16)).astype(np.float32))
+    q, scale = _quantize_kv(x)
+    assert q.dtype == jnp.int8 and scale.shape == (2, 5, 3)
+    deq = np.asarray(q, np.float32) * np.asarray(scale)[..., None]
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    assert (np.abs(deq - np.asarray(x)) <= amax / 254.0 + 1e-7).all()
+
+
+def test_step_attn_int8_cache_bounded_error(rng):
+    """The per-step attention output under an int8 KV cache stays within a
+    small relative error of the full-precision cache given the SAME
+    history — the bounded quality guarantee behind the serving lever
+    (sequence-level greedy match is autoregressive and can amplify one
+    near-tie flip arbitrarily, so the bound is asserted at step level)."""
+    from neuralcodecs_tpu.models.dia.layers import Attention, KVCacheSlot
+
+    att = Attention("att", 32, 32, 4, 2, 8, 32)
+    params = {}
+    att.init(jax.random.key(0), params)
+    b, max_t = 2, 12
+    x_hist = jnp.asarray(rng.standard_normal((b, max_t, 32)).astype(np.float32))
+    fp = KVCacheSlot.zeros(b, max_t, 2, 8)
+    q8 = KVCacheSlot.zeros(b, max_t, 2, 8, quantized=True)
+    outs = {}
+    for name, cache in (("fp", fp), ("q8", q8)):
+        acc = []
+        c = cache
+        for t in range(max_t):
+            pos = jnp.full((b, 1), t, jnp.int32)
+            mask = (jnp.arange(max_t) <= t)[None, None, :]
+            mask = jnp.broadcast_to(mask, (b, 1, max_t))
+            o, c = att.step_attn(params, x_hist[:, t:t + 1], pos, c, t, mask)
+            acc.append(np.asarray(o))
+        outs[name] = np.concatenate(acc, axis=1)
+    err = np.linalg.norm(outs["q8"] - outs["fp"]) / np.linalg.norm(outs["fp"])
+    assert err < 0.02, f"int8 KV cache step-attention rel error {err:.4f}"
+
+
+def test_dia_int8_kv_cache_generation():
+    """int8 decode KV cache (the bucket-3072 serving lever, VERDICT r3 #4):
+    generation stays valid and deterministic, and toggling the flag back
+    re-traces the fp path bit-exactly (the flag is a static jit arg, so
+    both variants coexist without stale executables). Sequence-level
+    greedy match vs the fp cache is recorded as a smoke floor only — on
+    tiny RANDOM weights the near-flat logits make single near-tie flips
+    cascade (measured ~0.7 here; the bounded per-step guarantee is
+    test_step_attn_int8_cache_bounded_error, and the full-size measured
+    match is recorded in PERF.md 'int8 KV cache')."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    texts = ["[S1]hello there", "[S2]ok"]
+    ref, lref = dia.generate_codes(texts, max_tokens=20, seed=3,
+                                   temperature=0.0)
+    dia.enable_int8_kv_cache()
+    assert dia.kv_cache_int8
+    out, _ = dia.generate_codes(texts, max_tokens=20, seed=3,
+                                temperature=0.0)
+    assert (out >= 0).all() and (out <= 1023).all()
+    again, _ = dia.generate_codes(texts, max_tokens=20, seed=3,
+                                  temperature=0.0)
+    np.testing.assert_array_equal(out, again)  # deterministic under int8 kv
+    n = min(ref.shape[1], out.shape[1])
+    if n:
+        match = float(np.mean(ref[:, :n] == out[:, :n]))
+        assert match >= 0.3, f"greedy token match {match:.3f} — not a smoke"
+    # toggling back re-traces the fp path and reproduces the reference
+    dia.enable_int8_kv_cache(False)
+    back, lback = dia.generate_codes(texts, max_tokens=20, seed=3,
+                                     temperature=0.0)
+    np.testing.assert_array_equal(ref, back)
+    np.testing.assert_array_equal(lref, lback)
+
+
+def test_dia_int8_kv_cache_stream_matches_oneshot():
+    """Streaming generation under the int8 KV cache still reproduces its
+    own one-shot path exactly (same quantized cache in both)."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0).enable_int8_kv_cache()
+    ref, _ = dia.generate_codes(["[S1]hello there"], max_tokens=20, seed=3)
+    blocks = []
+    for block, done in dia.generate_codes_stream("[S1]hello there",
+                                                 segment_tokens=6,
+                                                 max_tokens=20, seed=3):
+        blocks.append(block)
+    streamed = np.concatenate(blocks, axis=0)
+    np.testing.assert_array_equal(ref[0, :streamed.shape[0]], streamed)
