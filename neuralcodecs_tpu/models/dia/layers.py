@@ -119,15 +119,22 @@ class DenseGeneral:
 
     def quantize_params(self, params: Params) -> None:
         """Replace this kernel in-place with int8 data + per-output scales
-        (weight-only quantization; amax over the contracted in-dims)."""
-        w = np.asarray(params[f"{self.prefix}.weight"], np.float32)
+        (weight-only quantization; amax over the contracted in-dims).
+
+        Runs ON DEVICE: the round-3 implementation pulled the full f32
+        parameter set to the host first (a 6.4 GB device_get — ~20 min
+        over the axon tunnel, measured round 4), quantized in numpy, and
+        re-uploaded. jnp ops enqueue asynchronously, so the whole
+        quantization is a few hundred pipelined device ops and zero
+        host↔device weight traffic."""
+        w = jnp.asarray(params[f"{self.prefix}.weight"], jnp.float32)
         n_in = len(self.in_shapes)
         in_axes = tuple(range(n_in))
-        amax = np.max(np.abs(w), axis=in_axes, keepdims=True)
-        scale = (amax / 127.0).astype(np.float32)
-        q8 = np.clip(np.round(w / np.maximum(scale, 1e-12)), -127, 127)
-        params[f"{self.prefix}.weight_q8"] = jnp.asarray(q8.astype(np.int8))
-        params[f"{self.prefix}.weight_scale"] = jnp.asarray(scale)
+        amax = jnp.max(jnp.abs(w), axis=in_axes, keepdims=True)
+        scale = amax / 127.0
+        q8 = jnp.clip(jnp.round(w / jnp.maximum(scale, 1e-12)), -127, 127)
+        params[f"{self.prefix}.weight_q8"] = q8.astype(jnp.int8)
+        params[f"{self.prefix}.weight_scale"] = scale
         del params[f"{self.prefix}.weight"]
 
     def quantize_params_int4(self, params: Params,
@@ -148,7 +155,7 @@ class DenseGeneral:
         across the jit boundary, and nibble unpacking is two VPU shifts
         that fuse into the matmul operand read.
         """
-        w = np.asarray(params[f"{self.prefix}.weight"], np.float32)
+        w = jnp.asarray(params[f"{self.prefix}.weight"], jnp.float32)
         k = int(np.prod(self.in_shapes))
         n = int(np.prod(self.out_features))
         if k % 2:
@@ -161,14 +168,14 @@ class DenseGeneral:
         if g % 2 or k % g:
             g = k  # per-output-channel fallback
         wg = w2.reshape(k // g, g, n)
-        amax = np.max(np.abs(wg), axis=1, keepdims=True)       # [K/G, 1, N]
-        scale = np.maximum(amax / 7.0, 1e-12).astype(np.float32)
-        q = np.clip(np.round(wg / scale), -7, 7).astype(np.int64)
+        amax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)     # [K/G, 1, N]
+        scale = jnp.maximum(amax / 7.0, 1e-12)
+        q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int32)
         q = q.reshape(k, n)
-        packed = ((q[0::2] & 0xF) | ((q[1::2] & 0xF) << 4)).astype(np.uint8)
-        params[f"{self.prefix}.weight_q4"] = jnp.asarray(
-            packed.view(np.int8))
-        params[f"{self.prefix}.weight_scale4"] = jnp.asarray(scale[:, 0, :])
+        packed = ((q[0::2] & 0xF) | ((q[1::2] & 0xF) << 4)).astype(jnp.uint8)
+        params[f"{self.prefix}.weight_q4"] = jax.lax.bitcast_convert_type(
+            packed, jnp.int8)
+        params[f"{self.prefix}.weight_scale4"] = scale[:, 0, :]
         del params[f"{self.prefix}.weight"]
 
     def _int4_matmul(self, params: Params, x: Array, q4: Array) -> Array:
