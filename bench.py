@@ -606,16 +606,15 @@ def _dia_stream_probe(fmt: str = "int8") -> dict:
                 return i + 1, proj(y, N) * (1 + 1e-6)
             return jax.lax.while_loop(lambda c: c[0] < L, body, (0, x))[1]
 
-    f = jax.jit(run)
+    # chain ITERS iterations INSIDE one jit (the _bench_forward
+    # methodology): separate f() calls are dispatch-bound over the axon
+    # tunnel (~29 ms RTT does not fully pipeline — measured 12 ms/iter on
+    # a 0.75 ms workload) and would report tunnel latency as "bandwidth"
     x = jnp.asarray(x0, DT)
-    y = f(x, *args)
-    float(jnp.sum(y.astype(jnp.float32)))  # warm + honest fetch
-    t0 = _time.perf_counter()
-    acc = x
-    for _ in range(ITERS):
-        acc = f(acc * (1 + 1e-9), *args)
-    float(jnp.sum(acc.astype(jnp.float32)))
-    dt = (_time.perf_counter() - t0) / ITERS
+    stats = _bench_forward(lambda p, xx, _k: run(xx, *p), tuple(args), x,
+                           seconds=1.0, iters=ITERS, repeats=3,
+                           needs_key=False)
+    dt = stats["wall_s"]
     gb = sum(int(a.nbytes) for a in args) / 1e9
     _STREAM_PROBES[fmt] = {"weight_stream_gbps": round(gb / dt, 1),
                            "probe_ms_per_iter": round(dt * 1e3, 2)}
@@ -788,6 +787,13 @@ def main() -> None:
 
     if want("--dia"):
         _emit_dia("dia_1.6b_decode_tokens_per_s", bench_dia(), "bf16")
+        try:  # free the bf16 model (retained via the jit caches' static
+            # self) before the int8 build — see release_generation_caches
+            from neuralcodecs_tpu.models.dia.model import \
+                release_generation_caches
+            release_generation_caches()
+        except Exception:
+            pass
     if full:
         # real published-weights probe runs EARLY (VERDICT r3 #2/#7: in
         # round 3 it was last and a driver timeout erased it). Fail-silent:
@@ -837,25 +843,45 @@ def main() -> None:
                     extra={"scaling_vs_b1":
                            round(agg["tok_s"] / timing["tok_s"], 2)})
         finally:
-            model = None  # free the quantized params before the next mode
-    if want("--snac") and not _over_budget("snac"):
-        _emit("snac24_roundtrip_xRT", bench_snac())
-    if want("--dac") and not _over_budget("dac"):
-        _emit("dac44_roundtrip_xRT", bench_dac())
-    if want("--enc24") and not _over_budget("enc24"):
-        _emit("encodec24_roundtrip_xRT", bench_encodec())
-    if want("--enc48") and not _over_budget("enc48"):
-        _emit("encodec48_stereo_roundtrip_xRT", bench_encodec48())
-        if not _over_budget("enc48 batch-64"):
-            _emit("encodec48_stereo_batch64_aggregate_xRT",
-                  bench_encodec48(batch=64))
-    if want("--dsp") and not _over_budget("dsp"):
-        _emit("audiotools_dsp_pipeline_xRT", bench_dsp())
-    if want("--aggregate") and not _over_budget("codec aggregates"):
-        # serving-batch aggregate throughput: per-stream work is partially
-        # latency-bound, so a batch of streams raises per-chip throughput
-        _emit("snac24_batch8_aggregate_xRT", bench_snac(batch=8))
-        _emit("dac44_batch8_aggregate_xRT", bench_dac(batch=8))
+            # drop the model AND the jit caches that retain it via their
+            # static `self` — otherwise each mode's full parameter set
+            # stays resident and the chip OOMs on the next build
+            # (observed in the round-4 default run: the retained bf16
+            # model exhausted HBM under the int8 quantize)
+            model = None
+            try:
+                from neuralcodecs_tpu.models.dia.model import \
+                    release_generation_caches
+                release_generation_caches()
+            except Exception:
+                pass
+
+    def _guarded(label: str, flag: str, thunk) -> None:
+        """One codec line: budget-gated and failure-isolated (a transient
+        chip error must not take down the remaining lines — in the
+        round-4 warm-up run an OOM in the Dia set crashed every codec
+        line after it)."""
+        if not want(flag) or _over_budget(label):
+            return
+        try:
+            _emit(label, thunk())
+        except Exception as exc:
+            print(f"{label} skipped: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+
+    _guarded("snac24_roundtrip_xRT", "--snac", bench_snac)
+    _guarded("dac44_roundtrip_xRT", "--dac", bench_dac)
+    _guarded("encodec24_roundtrip_xRT", "--enc24", bench_encodec)
+    _guarded("encodec48_stereo_roundtrip_xRT", "--enc48", bench_encodec48)
+    _guarded("encodec48_stereo_batch64_aggregate_xRT", "--enc48",
+             lambda: bench_encodec48(batch=64))
+    _guarded("audiotools_dsp_pipeline_xRT", "--dsp", bench_dsp)
+    # serving-batch aggregate throughput: per-stream work is partially
+    # latency-bound, so a batch of streams raises per-chip throughput
+    _guarded("snac24_batch8_aggregate_xRT", "--aggregate",
+             lambda: bench_snac(batch=8))
+    _guarded("dac44_batch8_aggregate_xRT", "--aggregate",
+             lambda: bench_dac(batch=8))
     if "--bf16" in sys.argv:  # separate flag: the remote bf16 compile is slow
         _emit("snac24_bf16_roundtrip_xRT", bench_snac(compute_dtype="bfloat16"),
               ceiling_dtype="bfloat16")

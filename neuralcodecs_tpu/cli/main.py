@@ -324,6 +324,8 @@ def cmd_serve(args) -> int:
         model = _load_dia_cli(args.model, dtype=args.dtype, int8=args.int8,
                               int4=args.int4, kv_int8=args.kv_int8,
                               dac_model=args.dac_model)
+        if getattr(args, "dia_kv_block", None) is not None:
+            model.kv_read_block = args.dia_kv_block
     else:
         model = _load_codec(args.codec, args.model, args.preset)
     server = CodecServer(model, args.codec, host=args.host, port=args.port,
@@ -473,6 +475,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Dia int8 decode KV cache: halves the per-step "
                          "masked K/V read that dominates long-bucket "
                          "batched serving (PERF.md 'int8 KV cache')")
+    sv.add_argument("--dia-kv-block", type=int, default=None,
+                    help="Dia block-skipped decode KV read: read the cache "
+                         "in N-sized blocks only up to the live step "
+                         "(default: auto — 512 once the generation buffer "
+                         "reaches 1024; 0 forces the full-cache read)")
     sv.add_argument("--dac-model", help="DAC vocoder weights for Dia")
     sv.add_argument("--batch-window-ms", type=float, default=4.0,
                     help="micro-batching window for concurrent /roundtrip "

@@ -316,6 +316,65 @@ class KVCacheSlot(NamedTuple):
         return k, v
 
 
+def _blocked_decode_attn(q: Array, cache: KVCacheSlot, step,
+                         block: int) -> Array:
+    """Decode-step GQA attention that reads the KV cache in ``block``-sized
+    slices, visiting only blocks whose start is <= ``step`` (positions past
+    the step are causally masked anyway). Flash-style single-query
+    accumulation: running max ``m``, denominator ``l``, weighted sum
+    ``acc`` in f32.
+
+    q: [B, 1, Nq, Dh]; cache k/v: [B, maxT, Nkv, Dh] (fp or int8+scales).
+    Returns [B, 1, Nq, Dh] in q.dtype. Scale 1.0 like sdpa_gqa (the q
+    projection folds 1/sqrt(d))."""
+    b, _, nq, dh = q.shape
+    max_t = cache.k.shape[1]
+    nkv = cache.k.shape[2]
+    groups = nq // nkv
+    assert max_t % block == 0, (max_t, block)
+    qg = q.reshape(b, nkv, groups, dh).astype(jnp.float32)
+
+    neg = jnp.float32(-jnp.inf)
+    m0 = jnp.full((b, nkv, groups), neg)
+    l0 = jnp.zeros((b, nkv, groups), jnp.float32)
+    acc0 = jnp.zeros((b, nkv, groups, dh), jnp.float32)
+
+    def cond(carry):
+        j = carry[0]
+        return j * block <= step
+
+    def body(carry):
+        j, m, l, acc = carry
+        start = j * block
+        kb = jax.lax.dynamic_slice_in_dim(cache.k, start, block, axis=1)
+        vb = jax.lax.dynamic_slice_in_dim(cache.v, start, block, axis=1)
+        if cache.k_scale is not None:
+            ks = jax.lax.dynamic_slice_in_dim(cache.k_scale, start, block,
+                                              axis=1)
+            vs = jax.lax.dynamic_slice_in_dim(cache.v_scale, start, block,
+                                              axis=1)
+            kb = kb.astype(jnp.float32) * ks[..., None]
+            vb = vb.astype(jnp.float32) * vs[..., None]
+        else:
+            kb = kb.astype(jnp.float32)
+            vb = vb.astype(jnp.float32)
+        logits = jnp.einsum("bkgd,bskd->bkgs", qg, kb,
+                            preferred_element_type=jnp.float32)
+        pos = start + jnp.arange(block)
+        logits = jnp.where((pos <= step)[None, None, None, :], logits, neg)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        p = jnp.exp(logits - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1)
+        acc_new = acc * corr[..., None] + jnp.einsum(
+            "bkgs,bskd->bkgd", p, vb, preferred_element_type=jnp.float32)
+        return j + 1, m_new, l_new, acc_new
+
+    _, m, l, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.reshape(b, 1, nq, dh).astype(q.dtype)
+
+
 class Attention:
     """Shared self/cross attention with q/k/v/o DenseGenerals
     (SelfAttention.cs / CrossAttention.cs)."""
@@ -355,14 +414,28 @@ class Attention:
 
     # single-step decode with cache update
     def step_attn(self, params: Params, x: Array, position: Array,
-                  cache: KVCacheSlot, index, mask: Array):
-        """x: [B, 1, D]; position: [B, 1]; mask: [B, 1, 1, maxT] (True=attend)."""
+                  cache: KVCacheSlot, index, mask: Array,
+                  kv_block: int = 0):
+        """x: [B, 1, D]; position: [B, 1]; mask: [B, 1, 1, maxT] (True=attend).
+
+        ``kv_block > 0`` enables the block-skipped read: instead of the
+        full static cache (the reference reads its whole preallocated
+        buffer every step too, KVCache.cs:9-105 — masked), an inner
+        while_loop walks ``kv_block``-sized cache blocks only up to the
+        current step with flash-style (m, l, acc) accumulation, so the
+        per-step KV elements READ track the live position instead of the
+        compiled bucket. At the 3072 serve bucket a typical ~450-step
+        generation reads ~6x fewer cache elements. Numerics: same
+        softmax up to f32 summation order (flash accumulation)."""
         q = apply_rope(self.q_proj(params, x), position, self.timescale)
         k = apply_rope(self.k_proj(params, x), position, self.timescale)
         v = self.v_proj(params, x)
         cache = cache.update(k, v, index)
-        ck, cv = cache.kv(q.dtype)
-        out = sdpa_gqa(q, ck, cv, mask)
+        if kv_block:
+            out = _blocked_decode_attn(q, cache, index, kv_block)
+        else:
+            ck, cv = cache.kv(q.dtype)
+            out = sdpa_gqa(q, ck, cv, mask)
         return self.o_proj(params, out), cache
 
     # cross-attention against a precomputed cache

@@ -135,10 +135,12 @@ class _DecoderLayer:
 
     def step(self, params: Params, x: Array, position: Array, index,
              self_cache: KVCacheSlot, self_mask: Array,
-             cross_cache: KVCacheSlot, cross_mask: Array) -> tuple[Array, KVCacheSlot]:
+             cross_cache: KVCacheSlot, cross_mask: Array,
+             kv_block: int = 0) -> tuple[Array, KVCacheSlot]:
         h = rms_norm(x, params[f"{self.prefix}.pre_sa_norm.weight"], self.eps)
         sa, self_cache = self.self_attention.step_attn(
-            params, h, position, self_cache, index, self_mask)
+            params, h, position, self_cache, index, self_mask,
+            kv_block=kv_block)
         x = x + sa
         h = rms_norm(x, params[f"{self.prefix}.pre_ca_norm.weight"], self.eps)
         x = x + self.cross_attention.cross_attn(params, h, position,
@@ -170,7 +172,21 @@ class Dia:
         # argument — NOT read off `self` inside the trace — so toggling it
         # after a generate call can never hit a stale executable.
         self.kv_cache_int8 = False
+        # block-skipped decode KV read (_blocked_decode_attn): None = auto
+        # (block 512 once the generation buffer reaches 1024 — below that
+        # the full read is cheap and the inner loop is pure overhead),
+        # 0 = always read the full static cache, N = explicit block size.
+        self.kv_read_block: int | None = None
         self.params: Params = params if params is not None else self.init_params(seed)
+
+    def _resolve_kv_block(self, buffer_len: int) -> int:
+        if self.kv_read_block is not None:
+            blk = int(self.kv_read_block)
+        else:
+            blk = 512 if buffer_len >= 1024 else 0
+        if blk and buffer_len % blk:
+            blk = 0  # non-divisible buffer: fall back to the full read
+        return blk
 
     def enable_int8_kv_cache(self, enabled: bool = True) -> "Dia":
         """Store the decode self-attention KV cache as int8 (+ per-position
@@ -232,8 +248,10 @@ class Dia:
         norms stay in their original dtype. Quantization math runs fully
         on device (DenseGeneral.quantize_params) — the previous bulk
         ``device_get`` of the 6.4 GB f32 set cost ~20 min over the axon
-        tunnel per model build."""
-        params = dict(self.params)
+        tunnel per model build. Mutates ``self.params`` in place so each
+        f32 kernel frees as soon as its int8 replacement exists (peak HBM
+        overhead = one kernel, not a whole second parameter set)."""
+        params = self.params
         for layer in self.enc_layers:
             for dense in (*layer.self_attention._children,
                           layer.mlp.wi_fused, layer.mlp.wo):
@@ -257,8 +275,8 @@ class Dia:
         DenseGeneral projects to channels x vocab and directly shapes the
         sampling distribution, so it keeps the finer 8-bit grid (it is
         ~19M of the 1.6B parameters — its extra bytes are noise). On-device
-        like :meth:`quantize_int8`."""
-        params = dict(self.params)
+        and in-place like :meth:`quantize_int8`."""
+        params = self.params
         for layer in self.enc_layers:
             for dense in (*layer.self_attention._children,
                           layer.mlp.wi_fused, layer.mlp.wo):
@@ -419,7 +437,7 @@ class Dia:
     def _run_loop(self, params: Params, carry, cross_caches, cross_mask,
                   prefill_steps: Array, token_limit: Array, stop,
                   *, max_tokens: int, temperature: float, top_k: int,
-                  top_p: float, cfg_scale: float):
+                  top_p: float, cfg_scale: float, kv_block: int = 0):
         """Run the autoregressive while_loop from ``carry`` until ``stop``
         (exclusive step bound, dynamic or static) or until every row's EOS
         countdown drains. Returns the advanced carry — resumable, so a host
@@ -454,7 +472,8 @@ class Dia:
             new_caches = []
             for i, layer in enumerate(self.dec_layers):
                 x, cache = layer.step(params, x, position, step, caches[i],
-                                      self_mask, cross_caches[i], cross_mask)
+                                      self_mask, cross_caches[i], cross_mask,
+                                      kv_block=kv_block)
                 new_caches.append(cache)
             logits = self._decoder_logits(params, x)         # [2B, 1, C, V]
             logits = logits[:, -1].reshape(b, 2, channels, -1).astype(jnp.float32)
@@ -518,12 +537,12 @@ class Dia:
 
     @functools.partial(jax.jit, static_argnames=("self", "max_tokens", "temperature",
                                                  "top_k", "top_p", "cfg_scale",
-                                                 "kv_int8"))
+                                                 "kv_int8", "kv_block"))
     def _generate_jit(self, params: Params, text_tokens: Array, prefill: Array,
                       prefill_steps: Array, rng: Array, token_limit: Array,
                       row_active: Array, *, max_tokens: int, temperature: float,
                       top_k: int, top_p: float, cfg_scale: float,
-                      kv_int8: bool = False):
+                      kv_int8: bool = False, kv_block: int = 0):
         """The whole generation pipeline on device.
 
         text_tokens: [B, S] int; prefill: [B, Tpre, C] delayed prompt tokens;
@@ -545,7 +564,7 @@ class Dia:
             params, carry, cross_caches, cross_mask, prefill_steps,
             token_limit, max_tokens - 1, max_tokens=max_tokens,
             temperature=temperature, top_k=top_k, top_p=top_p,
-            cfg_scale=cfg_scale)
+            cfg_scale=cfg_scale, kv_block=kv_block)
 
         max_delay = int(max(self.config.data.delay_pattern))
         finished = jnp.where(finished == -1, final_step + 1 - max_delay, finished)
@@ -566,12 +585,14 @@ class Dia:
 
     @functools.partial(jax.jit, static_argnames=("self", "max_tokens",
                                                  "temperature", "top_k",
-                                                 "top_p", "cfg_scale"))
+                                                 "top_p", "cfg_scale",
+                                                 "kv_block"))
     def _generate_segment_jit(self, params: Params, carry, cross_caches,
                               cross_mask, prefill_steps: Array,
                               token_limit: Array, seg_end: Array,
                               *, max_tokens: int, temperature: float,
-                              top_k: int, top_p: float, cfg_scale: float):
+                              top_k: int, top_p: float, cfg_scale: float,
+                              kv_block: int = 0):
         """Advance the generation loop until ``seg_end`` (dynamic) or EOS.
 
         One executable serves every segment length — ``seg_end`` is a traced
@@ -581,7 +602,7 @@ class Dia:
             params, carry, cross_caches, cross_mask, prefill_steps,
             token_limit, jnp.minimum(seg_end, max_tokens - 1),
             max_tokens=max_tokens, temperature=temperature, top_k=top_k,
-            top_p=top_p, cfg_scale=cfg_scale)
+            top_p=top_p, cfg_scale=cfg_scale, kv_block=kv_block)
 
     def generate_codes(self, texts: Sequence[str], *, max_tokens: int | None = None,
                        cfg_scale: float | None = None, temperature: float | None = None,
@@ -663,7 +684,8 @@ class Dia:
             top_k=int(cfg.top_k if top_k is None else top_k),
             top_p=float(cfg.top_p if top_p is None else top_p),
             cfg_scale=float(cfg.cfg_scale if cfg_scale is None else cfg_scale),
-            kv_int8=self.kv_cache_int8)
+            kv_int8=self.kv_cache_int8,
+            kv_block=self._resolve_kv_block(int(buffer_len)))
 
         # drop batch-padding rows before any length accounting
         generated = np.asarray(generated)[:b_real]  # forces completion
@@ -786,7 +808,8 @@ class Dia:
             temperature=float(cfg.temperature if temperature is None else temperature),
             top_k=int(cfg.top_k if top_k is None else top_k),
             top_p=float(cfg.top_p if top_p is None else top_p),
-            cfg_scale=float(cfg.cfg_scale if cfg_scale is None else cfg_scale))
+            cfg_scale=float(cfg.cfg_scale if cfg_scale is None else cfg_scale),
+            kv_block=self._resolve_kv_block(int(buffer_len)))
         steps_dev = jnp.asarray(prefill_steps)
         carry, cross_caches, cross_mask = self._generate_start_jit(
             self.params, jnp.asarray(text_arr), delayed, steps_dev,
@@ -940,6 +963,25 @@ def _sample_next_token(logits: Array, key: Array, temperature: float,
             sorted_probs, jnp.minimum(cutoff_count, probs.shape[-1] - 1), axis=-1)
         logits = jnp.where(probs < sorted_keep, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def release_generation_caches() -> None:
+    """Drop every compiled Dia generation executable.
+
+    The jitted generation entry points hold ``self`` as a static argument,
+    so their caches keep strong references to every Dia instance they ever
+    traced — including its full parameter set in HBM (6.4 GB f32 /
+    1.7 GB int8 at full size). A process that builds several models in
+    sequence (bench mode sweeps, serving reloads) must call this between
+    models or the chip accumulates dead parameter sets until
+    RESOURCE_EXHAUSTED (observed in the round-4 bench: the retained bf16
+    model OOMed the int8 build)."""
+    for fn in (Dia._generate_jit, Dia._generate_start_jit,
+               Dia._generate_segment_jit):
+        try:
+            fn.clear_cache()
+        except Exception:
+            pass
 
 
 def _factory(config: DiaConfig, **kwargs) -> Dia:

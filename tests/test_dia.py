@@ -430,3 +430,67 @@ def test_dia_int8_kv_cache_stream_matches_oneshot():
         blocks.append(block)
     streamed = np.concatenate(blocks, axis=0)
     np.testing.assert_array_equal(ref[0, :streamed.shape[0]], streamed)
+
+
+def test_blocked_decode_attn_matches_full(rng):
+    """_blocked_decode_attn (block-skipped KV read) matches the full-cache
+    sdpa_gqa read to float-accumulation tolerance at every step position,
+    fp and int8 caches alike."""
+    from neuralcodecs_tpu.models.dia.layers import (
+        KVCacheSlot, _blocked_decode_attn, sdpa_gqa)
+
+    b, max_t, nkv, nq, dh, block = 2, 16, 2, 4, 8, 4
+    k = jnp.asarray(rng.standard_normal((b, max_t, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, max_t, nkv, dh)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, 1, nq, dh)).astype(np.float32))
+    for quantized in (False, True):
+        cache = KVCacheSlot.zeros(b, max_t, nkv, dh, quantized=quantized)
+        if quantized:
+            cache = cache.prefill_write(k, v)
+        else:
+            cache = KVCacheSlot(k, v)
+        ck, cv = cache.kv(jnp.float32)
+        for step in (0, 3, 4, 11, 15):
+            mask = jnp.broadcast_to((jnp.arange(max_t) <= step)[None, None, :],
+                                    (b, 1, max_t))
+            full = sdpa_gqa(q, ck, cv, mask)
+            blocked = _blocked_decode_attn(q, cache, jnp.int32(step), block)
+            np.testing.assert_allclose(np.asarray(blocked), np.asarray(full),
+                                       atol=1e-5, rtol=1e-5)
+
+
+def test_dia_kv_block_generation_valid_and_deterministic():
+    """Generation under the block-skipped KV read is valid, seed-
+    deterministic, and the streaming path reproduces the one-shot path
+    exactly (both run the same blocked attention)."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0)
+    dia.kv_read_block = 8  # tiny buffers: force the blocked path
+    out, _ = dia.generate_codes(["[S1]hello there"], max_tokens=20, seed=3)
+    assert (out >= 0).all() and (out <= 1023).all()
+    again, _ = dia.generate_codes(["[S1]hello there"], max_tokens=20, seed=3)
+    np.testing.assert_array_equal(out, again)
+    blocks = [blk for blk, _ in dia.generate_codes_stream(
+        "[S1]hello there", segment_tokens=6, max_tokens=20, seed=3)]
+    streamed = np.concatenate(blocks, axis=0)
+    np.testing.assert_array_equal(out[0, :streamed.shape[0]], streamed)
+    # greedy tokens match the full-read path closely (same f32 softmax up
+    # to flash accumulation order; tiny-model near-ties may rarely flip)
+    ref, _ = dia.generate_codes(["[S1]hello there"], max_tokens=20, seed=3,
+                                temperature=0.0)
+    dia.kv_read_block = 0
+    full, _ = dia.generate_codes(["[S1]hello there"], max_tokens=20, seed=3,
+                                 temperature=0.0)
+    n = min(ref.shape[1], full.shape[1])
+    match = float(np.mean(ref[:, :n] == full[:, :n])) if n else 1.0
+    assert match >= 0.9, f"blocked-vs-full greedy match {match:.3f}"
+
+
+def test_dia_kv_block_with_int8_cache():
+    """Blocked read + int8 cache compose (the serving configuration)."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0).enable_int8_kv_cache()
+    dia.kv_read_block = 8
+    out, _ = dia.generate_codes(["[S1]hello there", "[S2]ok"], max_tokens=20,
+                                seed=3)
+    assert out.shape[0] == 2 and (out >= 0).all() and (out <= 1023).all()
