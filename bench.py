@@ -152,21 +152,28 @@ def _emit(metric: str, stats: dict | float,
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / 500.0, 3),
     }
-    # Ceiling-utilization accounting (VERDICT r2 #2, reworked per r3 #6 —
-    # the old headline `pct_of_allocation_ceiling` saturated at 100 by
+    # Ceiling/floor accounting (VERDICT r2 #2, reworked per r3 #6 — the
+    # old headline `pct_of_allocation_ceiling` saturated at 100 by
     # construction and was dropped). Honest per-resource context:
     #   - mxu_pct: achieved FLOP rate vs a fat-dot MXU ceiling (FLOPs are
-    #     physical; never exceeds 100 in practice).
+    #     physical; never exceeds 100 in practice) — the TRUE ceiling
+    #     utilization.
     #   - stream_x: XLA cost-analysis bytes/wall vs a pure elementwise
     #     streaming ceiling. Cost-analysis bytes count LOGICAL operands,
     #     including ones fusion never materializes, so stream_x > 1.0 means
     #     the config processes logical bytes faster than ANY unfused stream
     #     could — i.e. fusion is working.
-    # The falsifiable headline is `pct_of_modeled_ceiling`: achieved xRT vs
-    # a per-config ceiling MODELED from this session's measured per-shape
-    # dot walls (every conv/dot in the config's own jaxpr run at pure-dot
-    # speed, all elementwise work free — the DAC-44k ~110x derivation,
-    # PERF.md, generalized). It can and does report <100.
+    #   - standalone_ops_xrt / fusion_gain_x: the config's xRT if every
+    #     conv/dot in its own jaxpr ran as a standalone kernel with its
+    #     output round-tripped through a consumer pass (= a faithful model
+    #     of UNFUSED execution; this session's per-shape measurements),
+    #     and how far the real fused config beats it. Falsifiable in the
+    #     meaningful direction: fusion_gain_x < 1.0 flags a config that
+    #     fails to beat even unfused per-op execution — recoverable
+    #     headroom. Round-4 measurement note (PERF.md "Modeled ceiling,
+    #     falsified"): micro-composed per-op walls are a FLOOR, not a
+    #     ceiling — fused codec configs beat them 1.3-2.6x, which also
+    #     retires the round-2 "~110x DAC allocation ceiling" derivation.
     if stats.get("tflops") is not None:
         ceil = _measure_ceilings(ceiling_dtype)
         mxu_pct = (100.0 * stats["tflops"] / ceil["mxu_tflops"]
@@ -180,11 +187,10 @@ def _emit(metric: str, stats: dict | float,
             stream_x=round(stream_x, 2),
             bound="mxu" if mxu_pct >= 100.0 * stream_x else "stream",
         )
-    if stats.get("modeled_ceiling_xrt"):
+    if stats.get("standalone_ops_xrt"):
         rec.update(
-            modeled_ceiling_xrt=round(stats["modeled_ceiling_xrt"], 1),
-            pct_of_modeled_ceiling=round(
-                100.0 * xrt / stats["modeled_ceiling_xrt"], 1),
+            standalone_ops_xrt=round(stats["standalone_ops_xrt"], 1),
+            fusion_gain_x=round(xrt / stats["standalone_ops_xrt"], 2),
         )
     print(json.dumps(rec))
 
@@ -194,15 +200,26 @@ def _emit(metric: str, stats: dict | float,
 _DOT_WALLS: dict = {}
 
 
-def _dot_wall(m: int, k: int, n: int, dtype: str) -> float:
+def _dot_wall(m: int, k: int, n: int, dtype: str, iters: int = 10,
+              repeats: int = 2) -> float:
     """Measured wall (s) of one [M,K]x[K,N] dot on this allocation, cached
-    per shape class. f32 dots use Precision.HIGH (the codecs' default mode)."""
+    per shape class. f32 dots use Precision.HIGH (the codecs' default mode).
+
+    Dedicated chained loop rather than `_bench_forward`: that harness
+    perturbs the INPUT each iteration (a full M*K elementwise pass) and
+    reduces the output outside the dot — on skinny-K shapes those two
+    passes are ~3x the dot itself, which inflated the modeled ceiling
+    walls until SNAC reported 462% "of ceiling". Here the anti-hoisting
+    perturbation goes on the K*N WEIGHT (negligible), and the sum(|out|)
+    consumer fuses into the dot epilogue."""
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
-    key = (m, k, n, dtype)
-    if key in _DOT_WALLS:
-        return _DOT_WALLS[key]
+    ck = (m, k, n, dtype)
+    if ck in _DOT_WALLS:
+        return _DOT_WALLS[ck]
     rng = np.random.default_rng(0)
     np_dt = np.float32 if dtype == "float32" else jnp.bfloat16
     prec = (jax.lax.Precision.HIGH if dtype == "float32"
@@ -210,54 +227,120 @@ def _dot_wall(m: int, k: int, n: int, dtype: str) -> float:
     x = jax.device_put(rng.standard_normal((m, k)).astype(np_dt))
     w = jax.device_put(rng.standard_normal((k, n)).astype(np_dt))
 
-    def dot_fn(p, xx, _k):
-        return jax.lax.dot_general(
-            xx, p, (((1,), (0,)), ((), ())), precision=prec)
+    def chained(x, w):
+        def body(i, acc):
+            wi = (w.astype(jnp.float32) * (1.0 + 1e-12 * acc)).astype(w.dtype)
+            out = jax.lax.dot_general(x, wi, (((1,), (0,)), ((), ())),
+                                      precision=prec)
+            return acc + jnp.sum(jnp.abs(out).astype(jnp.float32))
 
-    stats = _bench_forward(dot_fn, w, x, seconds=1.0, iters=5, repeats=2,
-                           needs_key=False)
-    _DOT_WALLS[key] = stats["wall_s"]
-    return _DOT_WALLS[key]
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros(()))
+
+    compiled = jax.jit(chained).lower(x, w).compile()
+    float(compiled(x, w))  # warmup
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = _time.perf_counter()
+        float(compiled(x, w))
+        best = min(best, _time.perf_counter() - t0)
+    _DOT_WALLS[ck] = best / iters
+    return _DOT_WALLS[ck]
+
+
+def _conv_wall(spec: tuple, iters: int = 10, repeats: int = 2) -> float:
+    """Measured wall (s) of one standalone ``conv_general_dilated`` with the
+    EXACT in-model spec (shapes, strides, padding, dilations, groups,
+    precision). Cached per spec. Timing a conv as the equivalent im2col
+    DOT is not a valid ceiling on an element-rate-bound allocation — the
+    dot's LHS carries kernel-width x more elements than the conv's input
+    (the round-4 bench reported SNAC at 462% of its "dot ceiling" before
+    this fix); the conv primitive itself, alone, is the honest per-op
+    floor."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    if spec in _DOT_WALLS:
+        return _DOT_WALLS[spec]
+    (lhs_shape, rhs_shape, strides, padding, lhs_dil, rhs_dil, fgc, dn,
+     prec, dt) = spec
+    rng = np.random.default_rng(0)
+    np_dt = np.float32 if dt == "float32" else jnp.bfloat16
+    x = jax.device_put(rng.standard_normal(lhs_shape).astype(np_dt))
+    w = jax.device_put(rng.standard_normal(rhs_shape).astype(np_dt))
+
+    def chained(x, w):
+        def body(i, acc):
+            wi = (w.astype(jnp.float32) * (1.0 + 1e-12 * acc)).astype(w.dtype)
+            out = jax.lax.conv_general_dilated(
+                x, wi, window_strides=strides, padding=padding,
+                lhs_dilation=lhs_dil, rhs_dilation=rhs_dil,
+                dimension_numbers=dn, feature_group_count=fgc,
+                precision=prec)
+            return acc + jnp.sum(jnp.abs(out).astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros(()))
+
+    compiled = jax.jit(chained).lower(x, w).compile()
+    float(compiled(x, w))  # warmup
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = _time.perf_counter()
+        float(compiled(x, w))
+        best = min(best, _time.perf_counter() - t0)
+    _DOT_WALLS[spec] = best / iters
+    return _DOT_WALLS[spec]
 
 
 def _dot_shape_census(fn, *args) -> dict:
-    """Equivalent-dot census of a jittable forward: every
-    ``conv_general_dilated`` and ``dot_general`` in its jaxpr reduced to a
-    pure-dot shape (M, K, N, dtype) with trip-count multipliers for scans.
+    """Matmul-class op census of a jittable forward: every
+    ``conv_general_dilated`` (with its full spec, timed as a conv) and
+    ``dot_general`` (reduced to M, K, N, timed as a dot) in its jaxpr,
+    with trip-count multipliers for scans.
 
-    conv -> M = batch x out-spatial rows, K = C_in x kernel taps, N = C_out
-    (the implicit-im2col dot the MXU actually performs); grouped convs count
-    as `groups` dots of N/groups. dot_general batch dims fold into M (the
-    element-rate model counts rows, not dispatch). while-loop bodies are
-    skipped (unknown trip count -> undercount -> the modeled ceiling stays
-    an upper bound on speed and the pct a LOWER bound on utilization)."""
+    Returns {key: (kind, macs, count)} where key is the timing-cache key.
+    dot_general batch dims fold into M (the element-rate model counts
+    rows, not dispatch). while-loop bodies are skipped (unknown trip
+    count -> undercount -> the modeled ceiling stays an upper bound on
+    speed and the pct a LOWER bound on utilization)."""
     import jax
 
     closed = jax.make_jaxpr(fn)(*args)
     census: dict = {}
 
-    def add(key, mult):
-        census[key] = census.get(key, 0) + mult
+    def add(key, kind, macs, mult):
+        prev = census.get(key)
+        census[key] = (kind, macs, (prev[2] if prev else 0) + mult)
+
+    def _tup(x):
+        if isinstance(x, (list, tuple)):
+            return tuple(_tup(v) for v in x)
+        return x
 
     def walk(jaxpr, mult):
         for eqn in jaxpr.eqns:
             prim = eqn.primitive.name
             if prim == "conv_general_dilated":
                 dn = eqn.params["dimension_numbers"]
+                lhs = eqn.invars[0].aval
                 rhs = eqn.invars[1].aval
                 out = eqn.outvars[0].aval
                 fgc = int(eqn.params.get("feature_group_count", 1))
                 rs, os_ = dn.rhs_spec, dn.out_spec
-                n = rhs.shape[rs[0]]
-                k = rhs.shape[rs[1]] * int(
-                    np.prod([rhs.shape[i] for i in rs[2:]], dtype=np.int64))
+                k = (rhs.shape[rs[1]] * int(
+                    np.prod([rhs.shape[i] for i in rs[2:]], dtype=np.int64)))
                 m = out.shape[os_[0]] * int(
                     np.prod([out.shape[i] for i in os_[2:]], dtype=np.int64))
-                dt = str(eqn.invars[0].aval.dtype)
-                if fgc > 1:
-                    add((m, k, n // fgc, dt), mult * fgc)
-                else:
-                    add((m, k, n, dt), mult)
+                n_out = rhs.shape[rs[0]]
+                macs = m * k * n_out // max(fgc, 1)
+                spec = (tuple(lhs.shape), tuple(rhs.shape),
+                        _tup(eqn.params["window_strides"]),
+                        _tup(eqn.params["padding"]),
+                        _tup(eqn.params["lhs_dilation"]),
+                        _tup(eqn.params["rhs_dilation"]), fgc, dn,
+                        eqn.params.get("precision"), str(lhs.dtype))
+                add(spec, "conv", macs, mult)
             elif prim == "dot_general":
                 (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
                 lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
@@ -269,7 +352,7 @@ def _dot_shape_census(fn, *args) -> dict:
                 n = int(np.prod([s for i, s in enumerate(rhs.shape)
                                  if i not in rc and i not in rb],
                                 dtype=np.int64))
-                add((b * m, k, n, str(lhs.dtype)), mult)
+                add((b * m, k, n, str(lhs.dtype)), "dot", b * m * k * n, mult)
             elif prim == "scan":
                 walk(eqn.params["jaxpr"].jaxpr, mult * eqn.params["length"])
             elif prim == "while":
@@ -292,14 +375,17 @@ def _dot_shape_census(fn, *args) -> dict:
 
 def _modeled_ceiling(fn, params, a, seconds: float, *,
                      needs_key: bool = True) -> dict:
-    """Modeled per-config ceiling xRT: sum of this session's measured
-    per-shape dot walls over the config's own conv/dot census — i.e. the
-    xRT the config would reach if every matmul-class op ran at pure-dot
-    speed and everything else were free. Falsifiable by construction:
-    achieved xRT cannot exceed it (the real program strictly contains the
-    censused dots), so pct_of_modeled_ceiling <= ~100 and reports real
-    headroom when <100. (VERDICT r3 #6; generalizes the DAC-44k ~110x
-    derivation in PERF.md.)"""
+    """Standalone-ops xRT: sum of this session's measured per-op walls
+    (conv as conv, dot as dot, each with one output consumer pass) over
+    the config's own census — a faithful model of UNFUSED execution.
+
+    Round-4 finding (PERF.md "Modeled ceiling, falsified"): this is a
+    FLOOR, not a ceiling — XLA's fused configs beat their own ops-run-
+    standalone sum by 1.3-2.6x on this allocation, so the honest headline
+    is `fusion_gain_x = xrt / standalone_ops_xrt` (flag when < 1.0) and
+    the true ceiling reference stays `mxu_pct`. (VERDICT r3 #6: the
+    metric can now fail in a meaningful direction instead of printing
+    100 forever.)"""
     import jax
 
     if _over_budget("modeled-ceiling accounting"):
@@ -307,28 +393,32 @@ def _modeled_ceiling(fn, params, a, seconds: float, *,
     try:
         key = jax.random.key(0) if needs_key else None
         census = _dot_shape_census(lambda p, x: fn(p, x, key), params, a)
-        # Sub-10-MMAC dots take ~µs fused: counting them as free only
+        # Sub-10-MMAC ops take ~µs fused: counting them as free only
         # RAISES the modeled ceiling (conservative direction). Of the rest,
         # TIME only the top 12 by total MACs (each timing costs a compile
         # over the tunnel); the tail is modeled at the BEST measured MAC
         # rate among the timed shapes — again the conservative direction.
-        big = [((m, k, n, dt), c) for (m, k, n, dt), c in census.items()
-               if m * k * n >= 10_000_000]
-        big.sort(key=lambda item: -item[1] * item[0][0] * item[0][1]
-                 * item[0][2])
+        big = [(k_, kind, macs, count)
+               for k_, (kind, macs, count) in census.items()
+               if macs >= 10_000_000]
+        big.sort(key=lambda item: -item[2] * item[3])
         wall = 0.0
         best_rate = 0.0  # MAC/s
-        for (m, k, n, dt), count in big[:12]:
-            dtype = "float32" if dt == "float32" else "bfloat16"
-            w = _dot_wall(m, k, n, dtype)
+        for k_, kind, macs, count in big[:12]:
+            if kind == "conv":
+                w = _conv_wall(k_)
+            else:
+                m, kk, n, dt = k_
+                w = _dot_wall(m, kk, n,
+                              "float32" if dt == "float32" else "bfloat16")
             wall += count * w
-            best_rate = max(best_rate, m * k * n / w)
-        for (m, k, n, dt), count in big[12:]:
-            wall += count * m * k * n / best_rate
+            best_rate = max(best_rate, macs / w)
+        for k_, kind, macs, count in big[12:]:
+            wall += count * macs / best_rate
         if wall <= 0.0:
             return {}
         batch = a.shape[0]
-        return {"modeled_ceiling_xrt": seconds * batch / wall,
+        return {"standalone_ops_xrt": seconds * batch / wall,
                 "modeled_census_shapes": len(census)}
     except Exception as exc:  # accounting must never fail the bench
         print(f"modeled-ceiling accounting skipped: "
@@ -544,8 +634,12 @@ def _dia_stream_probe(fmt: str = "int8") -> dict:
 
     if fmt in _STREAM_PROBES:
         return _STREAM_PROBES[fmt]
-    L, B, K, N, G = 18, 2, 2048, 8192, 128
-    ITERS = 50
+    # 18 x 128 MB(bf16) layers ~ 2.3 GB: the per-layer transfer size
+    # matters — at 32 MB/layer the probe reported 198 GB/s while the real
+    # decode streamed 590 GB/s (DMA setup under-amortized), so the probe
+    # matches the model's ~90-130 MB/layer regime
+    L, B, K, N, G = 18, 2, 4096, 16384, 128
+    ITERS = 20
     DT = jnp.bfloat16
     rng = np.random.default_rng(0)
     w = rng.standard_normal((L, K, N)).astype(np.float32) * 0.02
@@ -611,9 +705,11 @@ def _dia_stream_probe(fmt: str = "int8") -> dict:
     # tunnel (~29 ms RTT does not fully pipeline — measured 12 ms/iter on
     # a 0.75 ms workload) and would report tunnel latency as "bandwidth"
     x = jnp.asarray(x0, DT)
-    stats = _bench_forward(lambda p, xx, _k: run(xx, *p), tuple(args), x,
-                           seconds=1.0, iters=ITERS, repeats=3,
-                           needs_key=False)
+    # .astype(DT): _bench_forward's accumulator perturbation promotes the
+    # bf16 input to f32, which would break the while_loop carry dtype
+    stats = _bench_forward(lambda p, xx, _k: run(xx.astype(DT), *p),
+                           tuple(args), x, seconds=1.0, iters=ITERS,
+                           repeats=3, needs_key=False)
     dt = stats["wall_s"]
     gb = sum(int(a.nbytes) for a in args) / 1e9
     _STREAM_PROBES[fmt] = {"weight_stream_gbps": round(gb / dt, 1),
