@@ -55,7 +55,8 @@ def _load_codec(codec: str, model_path: str | None, preset: str | None):
 
 def _load_dia_cli(model_path: str | None, dtype: str = "bf16",
                   int8: bool = False, int4: bool = False,
-                  kv_int8: bool = False, dac_model: str | None = None):
+                  kv_int8: bool = False, kv_dot_int8: bool = False,
+                  dac_model: str | None = None):
     """Build the serving-ready Dia (+DAC vocoder) the tts/serve commands share."""
     import jax.numpy as jnp
 
@@ -80,8 +81,12 @@ def _load_dia_cli(model_path: str | None, dtype: str = "bf16",
         model.quantize_int4()
     elif int8:
         model.quantize_int8()
+    if kv_dot_int8 and not kv_int8:
+        raise SystemExit("error: --kv-dot-int8 requires --kv-int8 "
+                         "(it reads the int8 cache without dequantizing)")
     if kv_int8:
         model.enable_int8_kv_cache()
+    model.kv_dot_int8 = bool(kv_dot_int8)
     if dac_model:
         model.load_dac_model(dac_model)
     else:
@@ -170,6 +175,7 @@ def cmd_tts(args) -> int:
 
     model = _load_dia_cli(args.model, dtype=args.dtype, int8=args.int8,
                           int4=args.int4, kv_int8=args.kv_int8,
+                          kv_dot_int8=getattr(args, "kv_dot_int8", False),
                           dac_model=args.dac_model)
     if getattr(args, "stream", False):
         # incremental decode: chunks land in the output file as they are
@@ -323,6 +329,7 @@ def cmd_serve(args) -> int:
     if args.codec == "dia":
         model = _load_dia_cli(args.model, dtype=args.dtype, int8=args.int8,
                               int4=args.int4, kv_int8=args.kv_int8,
+                              kv_dot_int8=getattr(args, "kv_dot_int8", False),
                               dac_model=args.dac_model)
         if getattr(args, "dia_kv_block", None) is not None:
             model.kv_read_block = args.dia_kv_block
@@ -442,6 +449,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="int8 decode KV cache: halves the per-step "
                           "masked K/V read that dominates long-bucket "
                           "batched serving (PERF.md 'int8 KV cache')")
+    tts.add_argument("--kv-dot-int8", action="store_true",
+                     help="int8-MXU attention dots against the int8 KV "
+                          "cache (requires --kv-int8): skips the per-"
+                          "element dequant, 1.37x per-step at a nearly-"
+                          "full bucket for ~1% worst-case attention "
+                          "error (PERF.md 'int8-dot KV read')")
     tts.set_defaults(fn=cmd_tts, operation="encoding")
 
     be = sub.add_parser("bench", help="run the benchmark suite")
@@ -475,6 +488,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Dia int8 decode KV cache: halves the per-step "
                          "masked K/V read that dominates long-bucket "
                          "batched serving (PERF.md 'int8 KV cache')")
+    sv.add_argument("--kv-dot-int8", action="store_true",
+                    help="Dia int8-MXU attention dots against the int8 KV "
+                         "cache (requires --kv-int8): skips the per-"
+                         "element dequant, 1.37x per-step at a nearly-"
+                         "full bucket for ~1% worst-case attention error "
+                         "(PERF.md 'int8-dot KV read')")
     sv.add_argument("--dia-kv-block", type=int, default=None,
                     help="Dia block-skipped decode KV read: read the cache "
                          "in N-sized blocks only up to the live step "

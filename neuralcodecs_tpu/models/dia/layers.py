@@ -317,7 +317,7 @@ class KVCacheSlot(NamedTuple):
 
 
 def _blocked_decode_attn(q: Array, cache: KVCacheSlot, step,
-                         block: int) -> Array:
+                         block: int, int8_dot: bool = False) -> Array:
     """Decode-step GQA attention that reads the KV cache in ``block``-sized
     slices, visiting only blocks whose start is <= ``step`` (positions past
     the step are causally masked anyway). Flash-style single-query
@@ -334,6 +334,20 @@ def _blocked_decode_attn(q: Array, cache: KVCacheSlot, step,
     assert max_t % block == 0, (max_t, block)
     qg = q.reshape(b, nkv, groups, dh).astype(jnp.float32)
 
+    # int8-MXU dots against the int8 cache (opt-in, Dia.kv_dot_int8):
+    # q quantized per row, q.k int8->int32 on the MXU, and the
+    # per-position v_scale folded into the softmax numerators which are
+    # then themselves row-quantized for the p.v dot. Removes the
+    # per-element K/V dequant — the element-rate term that survives
+    # byte-halving — at an extra ~1% relative output error (worst case,
+    # flat attention). Measured: 5.03 -> 3.67 ms/step at a nearly-full
+    # 3072 bucket, B=8 (PERF.md "int8-dot KV read").
+    int8_dot = bool(int8_dot) and cache.k_scale is not None
+    if int8_dot:
+        q_scale = jnp.maximum(
+            jnp.max(jnp.abs(qg), axis=-1, keepdims=True) / 127.0, 1e-30)
+        q_i8 = jnp.clip(jnp.round(qg / q_scale), -127, 127).astype(jnp.int8)
+
     neg = jnp.float32(-jnp.inf)
     m0 = jnp.full((b, nkv, groups), neg)
     l0 = jnp.zeros((b, nkv, groups), jnp.float32)
@@ -348,6 +362,33 @@ def _blocked_decode_attn(q: Array, cache: KVCacheSlot, step,
         start = j * block
         kb = jax.lax.dynamic_slice_in_dim(cache.k, start, block, axis=1)
         vb = jax.lax.dynamic_slice_in_dim(cache.v, start, block, axis=1)
+        pos = start + jnp.arange(block)
+        live = (pos <= step)[None, None, None, :]
+        if int8_dot:
+            ks = jax.lax.dynamic_slice_in_dim(cache.k_scale, start, block,
+                                              axis=1)
+            vs = jax.lax.dynamic_slice_in_dim(cache.v_scale, start, block,
+                                              axis=1)
+            logits = jnp.einsum(
+                "bkgd,bskd->bkgs", q_i8, kb,
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            logits = logits * q_scale \
+                * jnp.transpose(ks, (0, 2, 1))[:, :, None, :]
+            logits = jnp.where(live, logits, neg)
+            m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+            p = jnp.exp(logits - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1)
+            pv = p * jnp.transpose(vs, (0, 2, 1))[:, :, None, :]
+            pv_scale = jnp.maximum(
+                jnp.max(pv, axis=-1, keepdims=True) / 127.0, 1e-30)
+            pv_i8 = jnp.clip(jnp.round(pv / pv_scale), 0, 127
+                             ).astype(jnp.int8)
+            dv = jnp.einsum(
+                "bkgs,bskd->bkgd", pv_i8, vb,
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            acc_new = acc * corr[..., None] + dv * pv_scale
+            return j + 1, m_new, l_new, acc_new
         if cache.k_scale is not None:
             ks = jax.lax.dynamic_slice_in_dim(cache.k_scale, start, block,
                                               axis=1)
@@ -360,8 +401,7 @@ def _blocked_decode_attn(q: Array, cache: KVCacheSlot, step,
             vb = vb.astype(jnp.float32)
         logits = jnp.einsum("bkgd,bskd->bkgs", qg, kb,
                             preferred_element_type=jnp.float32)
-        pos = start + jnp.arange(block)
-        logits = jnp.where((pos <= step)[None, None, None, :], logits, neg)
+        logits = jnp.where(live, logits, neg)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
         p = jnp.exp(logits - m_new[..., None])
         corr = jnp.exp(m - m_new)
@@ -415,7 +455,7 @@ class Attention:
     # single-step decode with cache update
     def step_attn(self, params: Params, x: Array, position: Array,
                   cache: KVCacheSlot, index, mask: Array,
-                  kv_block: int = 0):
+                  kv_block: int = 0, kv_dot: bool = False):
         """x: [B, 1, D]; position: [B, 1]; mask: [B, 1, 1, maxT] (True=attend).
 
         ``kv_block > 0`` enables the block-skipped read: instead of the
@@ -432,7 +472,8 @@ class Attention:
         v = self.v_proj(params, x)
         cache = cache.update(k, v, index)
         if kv_block:
-            out = _blocked_decode_attn(q, cache, index, kv_block)
+            out = _blocked_decode_attn(q, cache, index, kv_block,
+                                       int8_dot=kv_dot)
         else:
             ck, cv = cache.kv(q.dtype)
             out = sdpa_gqa(q, ck, cv, mask)

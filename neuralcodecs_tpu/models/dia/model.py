@@ -136,11 +136,11 @@ class _DecoderLayer:
     def step(self, params: Params, x: Array, position: Array, index,
              self_cache: KVCacheSlot, self_mask: Array,
              cross_cache: KVCacheSlot, cross_mask: Array,
-             kv_block: int = 0) -> tuple[Array, KVCacheSlot]:
+             kv_block: int = 0, kv_dot: bool = False) -> tuple[Array, KVCacheSlot]:
         h = rms_norm(x, params[f"{self.prefix}.pre_sa_norm.weight"], self.eps)
         sa, self_cache = self.self_attention.step_attn(
             params, h, position, self_cache, index, self_mask,
-            kv_block=kv_block)
+            kv_block=kv_block, kv_dot=kv_dot)
         x = x + sa
         h = rms_norm(x, params[f"{self.prefix}.pre_ca_norm.weight"], self.eps)
         x = x + self.cross_attention.cross_attn(params, h, position,
@@ -177,6 +177,14 @@ class Dia:
         # the full read is cheap and the inner loop is pure overhead),
         # 0 = always read the full static cache, N = explicit block size.
         self.kv_read_block: int | None = None
+        # int8-MXU dots against the int8 KV cache (opt-in): removes the
+        # per-element K/V dequant from the blocked read at ~1% worst-case
+        # relative attention error on top of the int8 cache grid
+        # (tests/test_dia.py::test_blocked_decode_attn_int8_dot_bounded_error).
+        # Measured 1.37x per-step at a nearly-full 3072 bucket, B=8
+        # (PERF.md "int8-dot KV read"). Requires kv_cache_int8 and a
+        # blocked read; ignored otherwise.
+        self.kv_dot_int8 = False
         self.params: Params = params if params is not None else self.init_params(seed)
 
     def _resolve_kv_block(self, buffer_len: int) -> int:
@@ -187,6 +195,12 @@ class Dia:
         if blk and buffer_len % blk:
             blk = 0  # non-divisible buffer: fall back to the full read
         return blk
+
+    def _resolve_kv_dot(self, buffer_len: int) -> bool:
+        """int8-dot read applies only on the blocked path over an int8
+        cache (the full-cache sdpa read keeps the dequant semantics)."""
+        return bool(self.kv_dot_int8 and self.kv_cache_int8
+                    and self._resolve_kv_block(buffer_len))
 
     def enable_int8_kv_cache(self, enabled: bool = True) -> "Dia":
         """Store the decode self-attention KV cache as int8 (+ per-position
@@ -437,7 +451,8 @@ class Dia:
     def _run_loop(self, params: Params, carry, cross_caches, cross_mask,
                   prefill_steps: Array, token_limit: Array, stop,
                   *, max_tokens: int, temperature: float, top_k: int,
-                  top_p: float, cfg_scale: float, kv_block: int = 0):
+                  top_p: float, cfg_scale: float, kv_block: int = 0,
+                  kv_dot: bool = False):
         """Run the autoregressive while_loop from ``carry`` until ``stop``
         (exclusive step bound, dynamic or static) or until every row's EOS
         countdown drains. Returns the advanced carry — resumable, so a host
@@ -473,7 +488,7 @@ class Dia:
             for i, layer in enumerate(self.dec_layers):
                 x, cache = layer.step(params, x, position, step, caches[i],
                                       self_mask, cross_caches[i], cross_mask,
-                                      kv_block=kv_block)
+                                      kv_block=kv_block, kv_dot=kv_dot)
                 new_caches.append(cache)
             logits = self._decoder_logits(params, x)         # [2B, 1, C, V]
             logits = logits[:, -1].reshape(b, 2, channels, -1).astype(jnp.float32)
@@ -537,12 +552,14 @@ class Dia:
 
     @functools.partial(jax.jit, static_argnames=("self", "max_tokens", "temperature",
                                                  "top_k", "top_p", "cfg_scale",
-                                                 "kv_int8", "kv_block"))
+                                                 "kv_int8", "kv_block",
+                                                 "kv_dot"))
     def _generate_jit(self, params: Params, text_tokens: Array, prefill: Array,
                       prefill_steps: Array, rng: Array, token_limit: Array,
                       row_active: Array, *, max_tokens: int, temperature: float,
                       top_k: int, top_p: float, cfg_scale: float,
-                      kv_int8: bool = False, kv_block: int = 0):
+                      kv_int8: bool = False, kv_block: int = 0,
+                      kv_dot: bool = False):
         """The whole generation pipeline on device.
 
         text_tokens: [B, S] int; prefill: [B, Tpre, C] delayed prompt tokens;
@@ -564,7 +581,7 @@ class Dia:
             params, carry, cross_caches, cross_mask, prefill_steps,
             token_limit, max_tokens - 1, max_tokens=max_tokens,
             temperature=temperature, top_k=top_k, top_p=top_p,
-            cfg_scale=cfg_scale, kv_block=kv_block)
+            cfg_scale=cfg_scale, kv_block=kv_block, kv_dot=kv_dot)
 
         max_delay = int(max(self.config.data.delay_pattern))
         finished = jnp.where(finished == -1, final_step + 1 - max_delay, finished)
@@ -586,13 +603,13 @@ class Dia:
     @functools.partial(jax.jit, static_argnames=("self", "max_tokens",
                                                  "temperature", "top_k",
                                                  "top_p", "cfg_scale",
-                                                 "kv_block"))
+                                                 "kv_block", "kv_dot"))
     def _generate_segment_jit(self, params: Params, carry, cross_caches,
                               cross_mask, prefill_steps: Array,
                               token_limit: Array, seg_end: Array,
                               *, max_tokens: int, temperature: float,
                               top_k: int, top_p: float, cfg_scale: float,
-                              kv_block: int = 0):
+                              kv_block: int = 0, kv_dot: bool = False):
         """Advance the generation loop until ``seg_end`` (dynamic) or EOS.
 
         One executable serves every segment length — ``seg_end`` is a traced
@@ -602,7 +619,8 @@ class Dia:
             params, carry, cross_caches, cross_mask, prefill_steps,
             token_limit, jnp.minimum(seg_end, max_tokens - 1),
             max_tokens=max_tokens, temperature=temperature, top_k=top_k,
-            top_p=top_p, cfg_scale=cfg_scale, kv_block=kv_block)
+            top_p=top_p, cfg_scale=cfg_scale, kv_block=kv_block,
+            kv_dot=kv_dot)
 
     def generate_codes(self, texts: Sequence[str], *, max_tokens: int | None = None,
                        cfg_scale: float | None = None, temperature: float | None = None,
@@ -685,7 +703,8 @@ class Dia:
             top_p=float(cfg.top_p if top_p is None else top_p),
             cfg_scale=float(cfg.cfg_scale if cfg_scale is None else cfg_scale),
             kv_int8=self.kv_cache_int8,
-            kv_block=self._resolve_kv_block(int(buffer_len)))
+            kv_block=self._resolve_kv_block(int(buffer_len)),
+            kv_dot=self._resolve_kv_dot(int(buffer_len)))
 
         # drop batch-padding rows before any length accounting
         generated = np.asarray(generated)[:b_real]  # forces completion
@@ -809,7 +828,8 @@ class Dia:
             top_k=int(cfg.top_k if top_k is None else top_k),
             top_p=float(cfg.top_p if top_p is None else top_p),
             cfg_scale=float(cfg.cfg_scale if cfg_scale is None else cfg_scale),
-            kv_block=self._resolve_kv_block(int(buffer_len)))
+            kv_block=self._resolve_kv_block(int(buffer_len)),
+            kv_dot=self._resolve_kv_dot(int(buffer_len)))
         steps_dev = jnp.asarray(prefill_steps)
         carry, cross_caches, cross_mask = self._generate_start_jit(
             self.params, jnp.asarray(text_arr), delayed, steps_dev,

@@ -494,3 +494,56 @@ def test_dia_kv_block_with_int8_cache():
     out, _ = dia.generate_codes(["[S1]hello there", "[S2]ok"], max_tokens=20,
                                 seed=3)
     assert out.shape[0] == 2 and (out >= 0).all() and (out <= 1023).all()
+
+
+def test_blocked_decode_attn_int8_dot_bounded_error(rng):
+    """The int8-MXU-dot read (kv_dot_int8) stays within the int8-grid
+    error bound of the dequant blocked read: q is row-quantized for the
+    q.k dot and the v_scale-folded softmax numerators are row-quantized
+    for the p.v dot, so the added error is ~1/127 per dot on top of the
+    int8 cache. Flat random attention is the worst case (near-uniform p
+    spreads the quantization over every position)."""
+    from neuralcodecs_tpu.models.dia.layers import (
+        KVCacheSlot, _blocked_decode_attn)
+
+    b, max_t, nkv, nq, dh, block = 2, 64, 2, 4, 32, 16
+    k = jnp.asarray(rng.standard_normal((b, max_t, nkv, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, max_t, nkv, dh)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, 1, nq, dh)).astype(np.float32))
+    cache = KVCacheSlot.zeros(b, max_t, nkv, dh, quantized=True)
+    cache = cache.prefill_write(k, v)
+    for step in (0, 17, 63):
+        ref = _blocked_decode_attn(q, cache, jnp.int32(step), block)
+        out = _blocked_decode_attn(q, cache, jnp.int32(step), block,
+                                   int8_dot=True)
+        err = float(np.linalg.norm(np.asarray(out) - np.asarray(ref))
+                    / np.linalg.norm(np.asarray(ref)))
+        assert err < 0.03, (step, err)
+    # an fp cache ignores the flag (the int8-dot read needs cache scales)
+    fp_cache = KVCacheSlot(k, v)
+    ref = _blocked_decode_attn(q, fp_cache, jnp.int32(17), block)
+    out = _blocked_decode_attn(q, fp_cache, jnp.int32(17), block,
+                               int8_dot=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_dia_kv_dot_int8_generation_valid():
+    """kv_dot_int8 composes with the int8 cache + blocked read (the
+    long-bucket serving configuration) end to end, and is ignored
+    without the int8 cache (_resolve_kv_dot gates it)."""
+    cfg = tiny_config()
+    dia = Dia(cfg, seed=0).enable_int8_kv_cache()
+    dia.kv_read_block = 8
+    dia.kv_dot_int8 = True
+    out, _ = dia.generate_codes(["[S1]hello there", "[S2]ok"], max_tokens=20,
+                                seed=3)
+    assert out.shape[0] == 2 and (out >= 0).all() and (out <= 1023).all()
+    again, _ = dia.generate_codes(["[S1]hello there", "[S2]ok"],
+                                  max_tokens=20, seed=3)
+    np.testing.assert_array_equal(out, again)
+    assert dia._resolve_kv_dot(16)
+    dia.kv_cache_int8 = False
+    assert not dia._resolve_kv_dot(16)
+    dia.kv_cache_int8 = True
+    dia.kv_read_block = 0  # full read: int8-dot only exists on the blocked path
+    assert not dia._resolve_kv_dot(16)
