@@ -219,3 +219,28 @@ def test_biquad_pallas_bit_exact_on_tpu(rng):
         got = np.asarray(biquad_pallas(x, jnp.concatenate([b, a])))
         want = np.asarray(jax.jit(scan_ref)(x))
         np.testing.assert_array_equal(got, want, err_msg=f"shape {(t, n)}")
+
+
+def test_blocked_int8_dot_read_bounded_on_tpu(rng):
+    """The int8-MXU-dot blocked KV read (kv_dot_int8) stays within its
+    quantization bound vs the dequant blocked read ON HARDWARE — the CPU
+    suite checks the same bound, but only the chip exercises the MXU's
+    native int8 x int8 -> int32 path this code exists for."""
+    import jax.numpy as jnp
+
+    from neuralcodecs_tpu.models.dia.layers import (
+        KVCacheSlot, _blocked_decode_attn)
+
+    b, max_t, nkv, nq, dh, block = 4, 1024, 4, 4, 128, 256
+    k = jnp.asarray(rng.standard_normal((b, max_t, nkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, max_t, nkv, dh)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, 1, nq, dh)), jnp.float32)
+    cache = KVCacheSlot.zeros(b, max_t, nkv, dh, quantized=True)
+    cache = cache.prefill_write(k, v)
+    for step in (3, 511, 1023):
+        ref = np.asarray(_blocked_decode_attn(q, cache, jnp.int32(step),
+                                              block))
+        out = np.asarray(_blocked_decode_attn(q, cache, jnp.int32(step),
+                                              block, int8_dot=True))
+        err = float(np.linalg.norm(out - ref) / np.linalg.norm(ref))
+        assert err < 0.03, (step, err)
