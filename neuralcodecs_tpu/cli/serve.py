@@ -348,15 +348,21 @@ class CodecServer:
 
             def _reply(self, code: int, body: bytes, ctype: str) -> None:
                 self._last_status = code
-                self.send_response(code)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                if self.close_connection:
-                    # advertise the close (set e.g. on the unread-body 413
-                    # path) so keep-alive clients don't attempt reuse
-                    self.send_header("Connection", "close")
-                self.end_headers()
-                self.wfile.write(body)
+                try:
+                    self.send_response(code)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    if self.close_connection:
+                        # advertise the close (set e.g. on the unread-body
+                        # 413 path) so keep-alive clients don't attempt reuse
+                        self.send_header("Connection", "close")
+                    self.end_headers()
+                    self.wfile.write(body)
+                except (BrokenPipeError, ConnectionResetError):
+                    # client hung up mid-reply (e.g. a probe with a short
+                    # timeout); nothing to salvage — drop the connection
+                    # without socketserver's full-traceback stderr dump
+                    self.close_connection = True
 
             def _reply_json(self, code: int, obj) -> None:
                 self._reply(code, json.dumps(obj).encode(), "application/json")
