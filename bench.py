@@ -80,6 +80,36 @@ def _bench_forward(forward_fn, params, a, seconds: float, iters: int = 10,
 
 _CEILINGS: dict = {}
 _START = time.monotonic()
+# Every emitted metric is also collected here and re-printed as ONE compact
+# `{"metric": "summary", ...}` line at the very end of the run (VERDICT r4
+# #2): the driver records only the final ~4 KB of stdout plus the LAST
+# parsed metric line, so round 4's Dia-first ordering pushed every Dia
+# metric out of the captured tail. The summary line makes the tail
+# self-contained regardless of how many lines precede it.
+_SUMMARY: dict = {}
+_SUMMARY_KEYS = ("value", "ms_per_step", "scaling_vs_b1", "mxu_pct",
+                 "stream_x", "fusion_gain_x", "weight_stream_gbps",
+                 "scaling_vs_single", "codes_sha256_prefix")
+
+
+def _print_rec(rec: dict) -> None:
+    """Print one metric line and collect its compact form for the summary."""
+    print(json.dumps(rec))
+    _SUMMARY[rec["metric"]] = {
+        k: rec[k] for k in _SUMMARY_KEYS if k in rec}
+
+
+def _print_summary() -> None:
+    """The run's final line: every collected metric in one JSON object,
+    small enough (~2 KB for the full suite) to always fit the driver's
+    ~4 KB tail capture. Printed exactly once (idempotent: also wired to
+    SIGTERM so a driver `timeout` still gets whatever was measured)."""
+    if _SUMMARY.pop("__printed__", None):
+        return
+    rec = {"metric": "summary", "value": len(_SUMMARY), "unit": "metrics",
+           "vs_baseline": 1.0, "metrics": dict(_SUMMARY)}
+    _SUMMARY["__printed__"] = True
+    print(json.dumps(rec), flush=True)
 # Soft wall-clock budget (VERDICT r3 #2: the round-3 driver run died at
 # rc=124 mid-suite, losing everything after the timeout). The required
 # headline lines run first and are never skipped; every optional tail
@@ -192,7 +222,7 @@ def _emit(metric: str, stats: dict | float,
             standalone_ops_xrt=round(stats["standalone_ops_xrt"], 1),
             fusion_gain_x=round(xrt / stats["standalone_ops_xrt"], 2),
         )
-    print(json.dumps(rec))
+    _print_rec(rec)
 
 
 # --------------------------------------------------------------- modeled ceiling
@@ -803,7 +833,7 @@ def _emit_dia(metric: str, timing: dict, fmt: str,
               f"{type(exc).__name__}: {exc}", file=__import__('sys').stderr)
     if extra:
         rec.update(extra)
-    print(json.dumps(rec))
+    _print_rec(rec)
 
 
 def probe_real_weights() -> dict | None:
@@ -908,13 +938,13 @@ def main() -> None:
         # notice when it does not — one of the two is always in the record.
         probe = probe_real_weights()
         if probe is not None:
-            print(json.dumps({
+            _print_rec({
                 "metric": "snac24_real_ckpt_roundtrip_snr_db",
                 "value": probe["snr_db"],
                 "unit": "dB",
                 "vs_baseline": 1.0,
                 "codes_sha256_prefix": probe["codes_sha256_prefix"],
-            }))
+            })
     # weight-only int8 Dia (the fast serving config) + batched serving
     # aggregates (VERDICT r2 #1). Runs AHEAD of the codec tails now: the
     # round-3 ordering let a driver timeout eat the serving headline.
@@ -1021,25 +1051,41 @@ def main() -> None:
     if "--ecdc" in sys.argv:
         # LM-coded .ecdc throughput, single stream vs batched LM loop
         stats = bench_ecdc_lm()
-        print(json.dumps({
+        _print_rec({
             "metric": "ecdc_lm_compress_xRT",
             "value": round(stats["single_xrt"], 2),
             "unit": "x_realtime_per_chip",
             "vs_baseline": round(stats["single_xrt"] / 500.0, 3),
-        }))
-        print(json.dumps({
+        })
+        _print_rec({
             "metric": "ecdc_lm_batch16_compress_aggregate_xRT",
             "value": round(stats["batch_aggregate_xrt"], 2),
             "unit": "x_realtime_per_chip",
             "vs_baseline": round(stats["batch_aggregate_xrt"] / 500.0, 3),
             "scaling_vs_single": round(stats["scaling"], 2),
-        }))
-        print(json.dumps({
+        })
+        _print_rec({
             "metric": "ecdc_lm_batch16_decompress_aggregate_xRT",
             "value": round(stats["batch_decode_aggregate_xrt"], 2),
             "unit": "x_realtime_per_chip",
             "vs_baseline": round(
                 stats["batch_decode_aggregate_xrt"] / 500.0, 3),
-        }))
+        })
+
+
 if __name__ == "__main__":
-    main()
+    import signal
+    import sys as _sys
+
+    def _on_term(signum, frame):  # driver `timeout` sends SIGTERM first:
+        _print_summary()          # flush the record before dying
+        _sys.exit(128 + signum)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except Exception:
+        pass
+    try:
+        main()
+    finally:
+        _print_summary()
