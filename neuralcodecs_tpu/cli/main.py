@@ -62,6 +62,15 @@ def _load_dia_cli(model_path: str | None, dtype: str = "bf16",
 
     from neuralcodecs_tpu.models.dia import Dia, DiaConfig
 
+    # Reject bad flag combinations BEFORE the (minutes-long over the axon
+    # tunnel) 1.6B checkpoint load, not after.
+    if int4 and int8:
+        raise SystemExit(
+            "error: --int8 and --int4 are mutually exclusive; pick one "
+            "weight format (measured comparison: PERF.md 'int4 weight-only')")
+    if kv_dot_int8 and not kv_int8:
+        raise SystemExit("error: --kv-dot-int8 requires --kv-int8 "
+                         "(it reads the int8 cache without dequantizing)")
     # bf16 is the serving default: full-size f32 Dia (6.4 GB of params plus
     # CFG-doubled KV caches) exhausts a 16 GB chip
     jdtype = jnp.float32 if dtype == "f32" else jnp.bfloat16
@@ -73,17 +82,10 @@ def _load_dia_cli(model_path: str | None, dtype: str = "bf16",
         print("note: no --model given; using a randomly initialized Dia "
               "(output will be noise)", file=sys.stderr)
         model = Dia(DiaConfig(), compute_dtype=jdtype)
-    if int4 and int8:
-        raise SystemExit(
-            "error: --int8 and --int4 are mutually exclusive; pick one "
-            "weight format (measured comparison: PERF.md 'int4 weight-only')")
     if int4:
         model.quantize_int4()
     elif int8:
         model.quantize_int8()
-    if kv_dot_int8 and not kv_int8:
-        raise SystemExit("error: --kv-dot-int8 requires --kv-int8 "
-                         "(it reads the int8 cache without dequantizing)")
     if kv_int8:
         model.enable_int8_kv_cache()
     model.kv_dot_int8 = bool(kv_dot_int8)
@@ -454,7 +456,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "cache (requires --kv-int8): skips the per-"
                           "element dequant, 1.37x per-step at a nearly-"
                           "full bucket for ~1% worst-case attention "
-                          "error (PERF.md 'int8-dot KV read')")
+                          "error. Only active when the blocked KV read "
+                          "is on (auto at generation buffer >= 1024; "
+                          "--dia-kv-block on serve) — a notice is printed "
+                          "when it gates off (PERF.md 'int8-dot KV read')")
     tts.set_defaults(fn=cmd_tts, operation="encoding")
 
     be = sub.add_parser("bench", help="run the benchmark suite")

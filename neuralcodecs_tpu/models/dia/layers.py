@@ -466,7 +466,14 @@ class Attention:
         per-step KV elements READ track the live position instead of the
         compiled bucket. At the 3072 serve bucket a typical ~450-step
         generation reads ~6x fewer cache elements. Numerics: same
-        softmax up to f32 summation order (flash accumulation)."""
+        softmax up to f32 summation order (flash accumulation).
+
+        RESTRICTION (ADVICE r4): the blocked path does NOT consume
+        ``mask`` — it reconstructs pure step-causality (slot <= step)
+        from ``index`` alone inside _blocked_decode_attn. That is exactly
+        the self_mask _run_loop builds, so the two paths agree today; a
+        caller passing a richer mask (padding, per-row windows) must use
+        kv_block=0 or extend _blocked_decode_attn first."""
         q = apply_rope(self.q_proj(params, x), position, self.timescale)
         k = apply_rope(self.k_proj(params, x), position, self.timescale)
         v = self.v_proj(params, x)

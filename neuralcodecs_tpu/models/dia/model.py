@@ -17,6 +17,7 @@ the host gets control back only when generation finishes.
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Sequence
 
 import numpy as np
@@ -188,19 +189,33 @@ class Dia:
         self.params: Params = params if params is not None else self.init_params(seed)
 
     def _resolve_kv_block(self, buffer_len: int) -> int:
-        if self.kv_read_block is not None:
+        explicit = self.kv_read_block is not None
+        if explicit:
             blk = int(self.kv_read_block)
         else:
             blk = 512 if buffer_len >= 1024 else 0
         if blk and buffer_len % blk:
+            if explicit:  # ADVICE r4: never drop a user-requested
+                # optimization silently — say why the flag was ignored
+                print(f"dia: kv_read_block={blk} does not divide the "
+                      f"generation buffer ({buffer_len}); falling back to "
+                      f"the full-cache read", file=sys.stderr)
             blk = 0  # non-divisible buffer: fall back to the full read
         return blk
 
     def _resolve_kv_dot(self, buffer_len: int) -> bool:
         """int8-dot read applies only on the blocked path over an int8
         cache (the full-cache sdpa read keeps the dequant semantics)."""
-        return bool(self.kv_dot_int8 and self.kv_cache_int8
-                    and self._resolve_kv_block(buffer_len))
+        active = bool(self.kv_dot_int8 and self.kv_cache_int8
+                      and self._resolve_kv_block(buffer_len))
+        if self.kv_dot_int8 and self.kv_cache_int8 and not active:
+            # ADVICE r4: the flag is inert without the blocked read (auto
+            # block engages only at buffer >= 1024) — say so instead of
+            # quietly running the dequant path.
+            print(f"dia: --kv-dot-int8 is inactive for this generation "
+                  f"buffer ({buffer_len}: blocked KV read is off); running "
+                  f"the dequant read instead", file=sys.stderr)
+        return active
 
     def enable_int8_kv_cache(self, enabled: bool = True) -> "Dia":
         """Store the decode self-attention KV cache as int8 (+ per-position
@@ -264,7 +279,12 @@ class Dia:
         ``device_get`` of the 6.4 GB f32 set cost ~20 min over the axon
         tunnel per model build. Mutates ``self.params`` in place so each
         f32 kernel frees as soon as its int8 replacement exists (peak HBM
-        overhead = one kernel, not a whole second parameter set)."""
+        overhead = one kernel, not a whole second parameter set). The
+        in-place trade-off (ADVICE r4): an exception partway — e.g. a
+        missing key from a hand-edited state dict — leaves the model
+        half-quantized and unusable; reload before retrying. Accepted
+        deliberately: the alternative (build a full second dict) doubles
+        peak HBM, which the 16 GB chip cannot afford at 6.4 GB f32."""
         params = self.params
         for layer in self.enc_layers:
             for dense in (*layer.self_attention._children,
