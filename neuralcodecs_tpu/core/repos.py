@@ -51,6 +51,18 @@ def _http_get(url: str, headers: dict[str, str] | None = None) -> bytes:
         return resp.read()
 
 
+def _http_post_json(url: str, payload: dict,
+                    headers: dict[str, str] | None = None) -> dict:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"User-Agent": _USER_AGENT, **(headers or {})},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
 def _download_file(
     url: str,
     dest: Path,
@@ -114,6 +126,31 @@ def _validate_weights(files: dict[str, Path]) -> None:
             raise RepositoryError(
                 f"Downloaded file {name} is a Git-LFS pointer, not real weights"
             )
+
+
+def parse_lfs_pointer(path: Path) -> tuple[str, int]:
+    """Parse a Git-LFS pointer file -> (sha256 oid hex, media byte size).
+
+    Pointer format (git-lfs spec v1, what GitHubRepository.cs:469-476
+    extracts): `version`, `oid sha256:<hex>`, `size <n>` lines."""
+    oid: str | None = None
+    size: int | None = None
+    try:
+        text = path.read_text(errors="replace")
+    except OSError as exc:
+        raise RepositoryError(f"Cannot read LFS pointer {path.name}") from exc
+    for line in text.splitlines():
+        if line.startswith("oid sha256:"):
+            oid = line.split("sha256:", 1)[1].strip()
+        elif line.startswith("size "):
+            try:
+                size = int(line.split()[1])
+            except (IndexError, ValueError):
+                pass
+    if not oid or not re.fullmatch(r"[0-9a-f]{64}", oid) or size is None \
+            or size < 0:
+        raise RepositoryError(f"Malformed LFS pointer {path.name}")
+    return oid, size
 
 
 def pick_model_file(names: list[str]) -> str | None:
@@ -226,6 +263,7 @@ class GitHubRepository:
     API_CONTENTS = "https://api.github.com/repos/{owner}/{repo}/contents?ref={rev}"
     API_RELEASE = "https://api.github.com/repos/{owner}/{repo}/releases/tags/{tag}"
     API_LATEST = "https://api.github.com/repos/{owner}/{repo}/releases/latest"
+    LFS_BATCH = "https://github.com/{owner}/{repo}.git/info/lfs/objects/batch"
 
     @staticmethod
     def _api_json(url: str, source: str):
@@ -257,6 +295,57 @@ class GitHubRepository:
             return []
         return release.get("assets", []) or []
 
+    def _resolve_lfs_media(self, owner: str, repo: str,
+                           files: dict[str, Path], source: str,
+                           events: EventEmitter | None = None) -> None:
+        """Replace downloaded Git-LFS pointer files with their media objects.
+
+        Counterpart of GitHubRepository.cs:460-499 (DownloadLfsFile): parse
+        the pointer's oid/size, POST the git-lfs batch API
+        (`.git/info/lfs/objects/batch`, operation=download), follow the
+        returned `actions.download.href`, then verify the media against the
+        pointer's sha256 oid and size — the href comes from an untrusted
+        response, so integrity is checked before the file is accepted."""
+        import hashlib
+
+        for name, path in files.items():
+            if not (name.endswith(_WEIGHT_EXTS) and is_lfs_pointer(path)):
+                continue
+            oid, size = parse_lfs_pointer(path)
+            try:
+                result = _http_post_json(
+                    self.LFS_BATCH.format(owner=owner, repo=repo),
+                    {"operation": "download", "transfers": ["basic"],
+                     "objects": [{"oid": oid, "size": size}]},
+                    {"Accept": "application/vnd.git-lfs+json",
+                     "Content-Type": "application/vnd.git-lfs+json"},
+                )
+                obj = result["objects"][0]
+                if "error" in obj:
+                    raise RepositoryError(
+                        f"LFS object {oid[:12]} for {name}: "
+                        f"{obj['error'].get('message', 'unavailable')}", source)
+                href = obj["actions"]["download"]["href"]
+            except RepositoryError:
+                raise
+            except Exception as exc:
+                raise RepositoryError(
+                    f"LFS batch resolution failed for {name} in {source}",
+                    source) from exc
+            _download_file(href, path, events, source)
+            digest = hashlib.sha256()
+            actual = 0
+            with open(path, "rb") as f:
+                while chunk := f.read(1 << 20):
+                    digest.update(chunk)
+                    actual += len(chunk)
+            if actual != size or digest.hexdigest() != oid:
+                path.unlink(missing_ok=True)
+                raise RepositoryError(
+                    f"LFS media for {name} failed verification "
+                    f"(size {actual} vs {size}, sha256 mismatch={digest.hexdigest() != oid})",
+                    source)
+
     def get_model_info(self, source: str, revision: str = "main") -> ModelInfo:
         m = self._URL_RE.search(source)
         if not m:
@@ -278,6 +367,8 @@ class GitHubRepository:
             # direct release-asset / raw URL
             name = Path(m.group("path")).name
             out = {name: _download_file(source, safe_join(dest, name), events, source)}
+            self._resolve_lfs_media(m.group("owner"), m.group("repo"), out,
+                                    source, events)
             _validate_weights(out)
             return out
         info = self.get_model_info(source, revision)
@@ -329,6 +420,11 @@ class GitHubRepository:
                 out[shard] = _download_file(raw_url(shard),
                                             safe_join(dest, shard),
                                             events, source)
+        # raw.githubusercontent.com serves LFS-tracked weights as pointer
+        # files; resolve them to their media objects (GitHubRepository.cs
+        # DownloadLfsFile) before validation
+        owner, repo = owner_repo.split("/", 1)
+        self._resolve_lfs_media(owner, repo, out, source, events)
         _validate_weights(out)
         return out
 

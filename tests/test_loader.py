@@ -201,6 +201,96 @@ def test_github_release_asset_fallback(tmp_path, monkeypatch):
     assert any("/releases/tags/v1.0" in c for c in calls)
 
 
+def _lfs_pointer_bytes(payload: bytes) -> bytes:
+    import hashlib
+    oid = hashlib.sha256(payload).hexdigest()
+    return (f"version https://git-lfs.github.com/spec/v1\n"
+            f"oid sha256:{oid}\nsize {len(payload)}\n").encode()
+
+
+def test_github_lfs_pointer_resolution(tmp_path, monkeypatch):
+    """A raw-content download that lands an LFS pointer must be resolved
+    through the git-lfs batch API into the real media object
+    (GitHubRepository.cs:460-499), verified against the pointer's oid."""
+    import neuralcodecs_tpu.core.repos as repos_mod
+    from neuralcodecs_tpu.core.repos import GitHubRepository
+
+    media = b"PK\x03\x04" + b"weights-bytes" * 10
+    pointer = _lfs_pointer_bytes(media)
+    batch_calls = []
+
+    def fake_http_get(url, headers=None):
+        import json as _json
+        if "/contents" in url:
+            return _json.dumps([{ "path": "model.pt", "type": "file" }]).encode()
+        raise AssertionError(url)
+
+    def fake_download(url, dest, events=None, source=""):
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        if "lfs-media" in url:
+            dest.write_bytes(media)
+        else:  # raw.githubusercontent serves the pointer for LFS files
+            dest.write_bytes(pointer)
+        return dest
+
+    def fake_post_json(url, payload, headers=None):
+        batch_calls.append((url, payload))
+        assert url == "https://github.com/owner/repo.git/info/lfs/objects/batch"
+        obj = payload["objects"][0]
+        return {"objects": [{"oid": obj["oid"], "size": obj["size"],
+                             "actions": {"download":
+                                         {"href": "https://example.com/lfs-media"}}}]}
+
+    monkeypatch.setattr(repos_mod, "_http_get", fake_http_get)
+    monkeypatch.setattr(repos_mod, "_download_file", fake_download)
+    monkeypatch.setattr(repos_mod, "_http_post_json", fake_post_json)
+    out = GitHubRepository().download_model(
+        "https://github.com/owner/repo", "main", tmp_path)
+    assert out["model.pt"].read_bytes() == media
+    assert len(batch_calls) == 1
+
+
+def test_github_lfs_media_verification_failure(tmp_path, monkeypatch):
+    """Tampered LFS media (sha256 != pointer oid) must be rejected and the
+    file removed."""
+    import neuralcodecs_tpu.core.repos as repos_mod
+    from neuralcodecs_tpu.core.exceptions import RepositoryError
+    from neuralcodecs_tpu.core.repos import GitHubRepository
+
+    media = b"real-weights" * 8
+    pointer = _lfs_pointer_bytes(media)
+
+    def fake_download(url, dest, events=None, source=""):
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        dest.write_bytes(b"TAMPERED" + media if "lfs-media" in url else pointer)
+        return dest
+
+    monkeypatch.setattr(repos_mod, "_download_file", fake_download)
+    monkeypatch.setattr(
+        repos_mod, "_http_post_json",
+        lambda url, payload, headers=None: {"objects": [
+            {"actions": {"download": {"href": "https://example.com/lfs-media"}}}]})
+    repo = GitHubRepository()
+    with pytest.raises(RepositoryError, match="verification"):
+        repo.download_model(
+            "https://github.com/owner/repo/raw/main/model.pt", "main", tmp_path)
+    assert not (tmp_path / "model.pt").exists()
+
+
+def test_parse_lfs_pointer_rejects_malformed(tmp_path):
+    from neuralcodecs_tpu.core.exceptions import RepositoryError
+    from neuralcodecs_tpu.core.repos import parse_lfs_pointer
+
+    p = tmp_path / "bad.pt"
+    p.write_text("version https://git-lfs.github.com/spec/v1\noid sha256:xyz\n")
+    with pytest.raises(RepositoryError, match="Malformed"):
+        parse_lfs_pointer(p)
+    p.write_text("version https://git-lfs.github.com/spec/v1\n"
+                 "oid sha256:" + "a" * 64 + "\n")  # no size line
+    with pytest.raises(RepositoryError, match="Malformed"):
+        parse_lfs_pointer(p)
+
+
 def test_github_rate_limit_error(monkeypatch):
     import email.message
     import urllib.error
