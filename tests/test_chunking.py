@@ -51,6 +51,7 @@ def tiny_dac():
                          codebook_size=64, codebook_dim=4))
 
 
+@pytest.mark.slow
 def test_dac_chunked_forward_matches_unchunked(tiny_dac):
     model = tiny_dac
     rng = np.random.default_rng(1)
@@ -81,6 +82,7 @@ def test_dac_chunked_decode_matches_unchunked(tiny_dac):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dac_full_topology_halos_are_sufficient():
     """Validate the receptive-field formulas on the REAL 44k topology
     (rates [2,4,8,8]/[8,8,4,2]) with tiny dims: chunked == unchunked."""
@@ -129,6 +131,7 @@ def tiny_snac():
                            vq_strides=[4, 2, 1], noise=False, depthwise=False))
 
 
+@pytest.mark.slow
 def test_snac_chunked_forward_matches_unchunked(tiny_snac):
     model = tiny_snac
     rng = np.random.default_rng(11)
@@ -146,6 +149,7 @@ def test_snac_chunked_forward_matches_unchunked(tiny_snac):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_snac_chunked_with_attention_and_noise():
     """Attention (late/head stages, unchunked) + noise must still run and
     match unchunked when rng is None; depthwise + attn is the 32k preset
@@ -168,6 +172,7 @@ def test_snac_chunked_with_attention_and_noise():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_snac_public_api_roundtrip_chunked(tiny_snac):
     model = tiny_snac
     rng = np.random.default_rng(13)
@@ -178,6 +183,7 @@ def test_snac_public_api_roundtrip_chunked(tiny_snac):
     assert dec.shape[-1] == model._pad_length(audio.shape[-1])
 
 
+@pytest.mark.slow
 def test_batched_chunked_matches_per_stream_snac(rng):
     """B>1 streams through the chunked path == each stream individually."""
     from neuralcodecs_tpu.models.snac import SNAC, SNACConfig

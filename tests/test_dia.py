@@ -139,6 +139,7 @@ def test_dia_missing_key_raises():
         Dia(cfg, seed=1).load_state_dict(sd)
 
 
+@pytest.mark.slow
 def test_dia_int8_quantization(rng):
     """Weight-only int8: outputs stay close; generation still works."""
     cfg = tiny_config()
@@ -204,6 +205,7 @@ def test_dense_general_int4_multidim_and_fallbacks(rng):
     assert "o.weight_q8" in params2 and "o.weight_q4" not in params2
 
 
+@pytest.mark.slow
 def test_dia_int4_quantization(rng):
     """Weight-only int4: params shrink ~4x on the transformer kernels,
     generation still produces valid codes, and greedy codes stay close to
@@ -265,6 +267,7 @@ def test_dia_token_and_batch_bucket_equivalent():
     assert bucketed.shape[0] == 2  # padding rows sliced off
 
 
+@pytest.mark.slow
 def test_dia_batch_bucket_equivalent_when_sampling():
     """Batch padding must be reproducible at temperature > 0 (the serving
     default), not just greedy: sampling keys are folded per row index, so
@@ -417,6 +420,7 @@ def test_dia_int8_kv_cache_generation():
     np.testing.assert_array_equal(lref, lback)
 
 
+@pytest.mark.slow
 def test_dia_int8_kv_cache_stream_matches_oneshot():
     """Streaming generation under the int8 KV cache still reproduces its
     own one-shot path exactly (same quantized cache in both)."""
@@ -459,6 +463,7 @@ def test_blocked_decode_attn_matches_full(rng):
                                        atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dia_kv_block_generation_valid_and_deterministic():
     """Generation under the block-skipped KV read is valid, seed-
     deterministic, and the streaming path reproduces the one-shot path

@@ -5,6 +5,10 @@ import io
 import numpy as np
 import pytest
 
+# Deep/expensive suite (VERDICT r4 #9): every test here stands up real
+# servers / 8-device meshes / LM coding loops. Quick tier: -m 'not slow'.
+pytestmark = pytest.mark.slow
+
 from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
 from neuralcodecs_tpu.models.encodec.entropy import (
     ArithmeticCoder,

@@ -3,6 +3,10 @@
 import numpy as np
 import pytest
 
+# Deep/expensive suite (VERDICT r4 #9): every test here stands up real
+# servers / 8-device meshes / LM coding loops. Quick tier: -m 'not slow'.
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from neuralcodecs_tpu.core.export import load_pretrained, save_pretrained

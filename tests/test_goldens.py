@@ -134,6 +134,7 @@ def test_dia_golden_generation_frozen():
                                   g["lengths"])
 
 
+@pytest.mark.slow
 def test_fullsize_golden_codes_and_audio():
     """Full-dimension SNAC-24k + DAC-44k forwards from seeded weights
     (VERDICT r2 #7): pins f32 accumulation at the real 1024+-wide layers.

@@ -6,8 +6,13 @@ import json
 import wave
 
 import numpy as np
+import pytest
 
 from neuralcodecs_tpu.cli.serve import CodecServer, _array_to_wav, _wav_to_array
+
+# Deep/expensive suite (VERDICT r4 #9): every test here stands up real
+# servers / 8-device meshes / LM coding loops. Quick tier: -m 'not slow'.
+pytestmark = pytest.mark.slow
 
 
 def _tiny_snac():

@@ -3,6 +3,10 @@
 import numpy as np
 import pytest
 
+# Deep/expensive suite (VERDICT r4 #9): every test here stands up real
+# servers / 8-device meshes / LM coding loops. Quick tier: -m 'not slow'.
+pytestmark = pytest.mark.slow
+
 from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
 
 from test_encodec import tiny_config
@@ -311,3 +315,35 @@ def test_stream_serve_rejects_bad_header(rng):
             cli.push(np.zeros(7, np.float32))
     finally:
         srv.shutdown()
+
+
+def test_stream_roundtrip_fastpath_matches_frames(rng):
+    """The single-call fused stream round-trip (_stream_roundtrip_fn,
+    VERDICT r4 #4) must reproduce the frames API decode(encode(x)) —
+    per-frame normalize + scale restore + triangular OLA included — for
+    full-coverage, tailed, and stereo/normalized layouts."""
+    for over, n_sec in [
+        (dict(chunk_length_s=0.05, overlap=0.01, normalize=True), 0.24),
+        (dict(chunk_length_s=0.05, overlap=0.01, normalize=True), 0.25),
+        (dict(chunk_length_s=0.05, overlap=0.25, normalize=False), 0.21),
+        (dict(chunk_length_s=0.05, overlap=0.01, normalize=True,
+              channels=2, use_causal_conv=False,
+              norm_type="time_group_norm"), 0.23),
+    ]:
+        cfg = tiny_config(**over)
+        model = Encodec(cfg)
+        n = int(cfg.sample_rate * n_sec)
+        audio = (0.3 * rng.standard_normal((cfg.channels, n))
+                 ).astype(np.float32)
+        want = np.asarray(model.decode(model.encode(audio)))[..., :n]
+        got = np.asarray(model.forward(audio))
+        assert got.shape == want.shape, (over, n_sec)
+        # one-program fusion reorders float accumulation vs the frames
+        # path (PARITY.md "Known divergences"): near-tie VQ boundaries can
+        # flip, so bound the disagreement instead of demanding bit parity —
+        # overwhelmingly identical, rare flips bounded in magnitude.
+        diff = np.abs(got - want)
+        assert float(diff.max()) < 1e-3, (over, n_sec, float(diff.max()))
+        assert float(np.mean(diff > 1e-4)) < 0.02, (over, n_sec)
+        # the fast path must actually have been taken (one full chunk min)
+        assert model._stream_roundtrip_fn.cache_info().currsize > 0
