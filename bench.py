@@ -88,8 +88,9 @@ _START = time.monotonic()
 # self-contained regardless of how many lines precede it.
 _SUMMARY: dict = {}
 _SUMMARY_KEYS = ("value", "ms_per_step", "scaling_vs_b1", "mxu_pct",
-                 "stream_x", "fusion_gain_x", "weight_stream_gbps",
-                 "scaling_vs_single", "codes_sha256_prefix")
+                 "stream_x", "fusion_gain_x", "stage_split_gain_x",
+                 "weight_stream_gbps", "scaling_vs_single",
+                 "codes_sha256_prefix")
 
 
 def _print_rec(rec: dict) -> None:
@@ -194,16 +195,21 @@ def _emit(metric: str, stats: dict | float,
     #     the config processes logical bytes faster than ANY unfused stream
     #     could — i.e. fusion is working.
     #   - standalone_ops_xrt / fusion_gain_x: the config's xRT if every
-    #     conv/dot in its own jaxpr ran as a standalone kernel with its
-    #     output round-tripped through a consumer pass (= a faithful model
-    #     of UNFUSED execution; this session's per-shape measurements),
-    #     and how far the real fused config beats it. Falsifiable in the
-    #     meaningful direction: fusion_gain_x < 1.0 flags a config that
-    #     fails to beat even unfused per-op execution — recoverable
-    #     headroom. Round-4 measurement note (PERF.md "Modeled ceiling,
-    #     falsified"): micro-composed per-op walls are a FLOOR, not a
-    #     ceiling — fused codec configs beat them 1.3-2.6x, which also
-    #     retires the round-2 "~110x DAC allocation ceiling" derivation.
+    #     primitive in its own jaxpr ran as a standalone kernel (convs/dots
+    #     at this session's measured per-shape walls, sizable elementwise
+    #     passes at the measured streaming ceiling) — a faithful model of
+    #     PER-OP execution, i.e. the reference's torch-eager backend model.
+    #     Round-5 semantics change (VERDICT r4 #3, PERF.md "Fusion floor,
+    #     round 5"): the round-4 conv/dot-only floor flagged DAC at
+    #     0.87-0.92 while a real stage-split bisect shows the fused whole
+    #     is ~7% FASTER than split execution — the flag was the census's
+    #     elementwise blind spot, not a scheduler loss. fusion_gain_x is now
+    #     an eager-vs-XLA statement; floor_ew_pct discloses how much of the
+    #     floor is elementwise.
+    #   - stage_split_xrt / stage_split_gain_x (DAC B=1 only): the MEASURED
+    #     encoder|RVQ|decoder split execution — the real scheduler-
+    #     regression flag (gain < 1.0 would mean the fused whole loses to a
+    #     trivially-achievable split schedule).
     if stats.get("tflops") is not None:
         ceil = _measure_ceilings(ceiling_dtype)
         mxu_pct = (100.0 * stats["tflops"] / ceil["mxu_tflops"]
@@ -221,6 +227,13 @@ def _emit(metric: str, stats: dict | float,
         rec.update(
             standalone_ops_xrt=round(stats["standalone_ops_xrt"], 1),
             fusion_gain_x=round(xrt / stats["standalone_ops_xrt"], 2),
+        )
+        if stats.get("floor_ew_pct") is not None:
+            rec["floor_ew_pct"] = stats["floor_ew_pct"]
+    if stats.get("stage_split_xrt"):
+        rec.update(
+            stage_split_xrt=round(stats["stage_split_xrt"], 1),
+            stage_split_gain_x=round(xrt / stats["stage_split_xrt"], 2),
         )
     _print_rec(rec)
 
@@ -323,21 +336,31 @@ def _conv_wall(spec: tuple, iters: int = 10, repeats: int = 2) -> float:
     return _DOT_WALLS[spec]
 
 
-def _dot_shape_census(fn, *args) -> dict:
-    """Matmul-class op census of a jittable forward: every
-    ``conv_general_dilated`` (with its full spec, timed as a conv) and
-    ``dot_general`` (reduced to M, K, N, timed as a dot) in its jaxpr,
-    with trip-count multipliers for scans.
+def _dot_shape_census(fn, *args) -> tuple[dict, float]:
+    """Op census of a jittable forward: every ``conv_general_dilated``
+    (with its full spec, timed as a conv) and ``dot_general`` (reduced to
+    M, K, N, timed as a dot) in its jaxpr, with trip-count multipliers for
+    scans — PLUS the total in+out BYTES of every OTHER sizable leaf
+    primitive (elementwise chains, pads, slices, transposes, reductions),
+    which unfused execution would materialize as its own kernel pass.
 
-    Returns {key: (kind, macs, count)} where key is the timing-cache key.
-    dot_general batch dims fold into M (the element-rate model counts
-    rows, not dispatch). while-loop bodies are skipped (unknown trip
-    count -> undercount -> the modeled ceiling stays an upper bound on
-    speed and the pct a LOWER bound on utilization)."""
+    Returns ({key: (kind, macs, count)}, ew_bytes). The elementwise
+    tally is what makes the unfused-execution floor honest on
+    element-rate-bound configs (round-5 finding: DAC's fused round-trip
+    measured 0.84 of a conv-only floor while BEATING a real stage-split
+    execution, 104.65 ms vs 112.29 ms — the conv-only census was blind to
+    the snake/residual/layout passes that standalone execution pays; see
+    PERF.md "Fusion floor, round 5"). dot_general batch dims fold into M.
+    while-loop bodies are skipped (unknown trip count -> undercount ->
+    floor stays optimistic, the conservative direction)."""
     import jax
 
     closed = jax.make_jaxpr(fn)(*args)
     census: dict = {}
+    ew_bytes = 0.0
+    # leaf ops below ~1M in+out elements take <~50 µs standalone: counting
+    # them free only RAISES the floor (conservative direction)
+    EW_MIN_ELEMENTS = 1_000_000
 
     def add(key, kind, macs, mult):
         prev = census.get(key)
@@ -348,7 +371,19 @@ def _dot_shape_census(fn, *args) -> dict:
             return tuple(_tup(v) for v in x)
         return x
 
+    def _eqn_elems_bytes(eqn) -> tuple[float, float]:
+        elems, nbytes = 0, 0
+        for v in (*eqn.invars, *eqn.outvars):
+            aval = getattr(v, "aval", None)
+            shape = getattr(aval, "shape", None)
+            if shape:
+                n = int(np.prod(shape, dtype=np.int64))
+                elems += n
+                nbytes += n * getattr(aval.dtype, "itemsize", 4)
+        return float(elems), float(nbytes)
+
     def walk(jaxpr, mult):
+        nonlocal ew_bytes
         for eqn in jaxpr.eqns:
             prim = eqn.primitive.name
             if prim == "conv_general_dilated":
@@ -392,22 +427,35 @@ def _dot_shape_census(fn, *args) -> dict:
                 if branches:  # count the first branch only (conservative)
                     walk(branches[0].jaxpr, mult)
             else:
+                has_sub = False
                 for p in eqn.params.values():
                     jx = getattr(p, "jaxpr", None)
                     if jx is not None and hasattr(jx, "eqns"):
                         walk(jx, mult)
+                        has_sub = True
                     elif hasattr(p, "eqns"):
                         walk(p, mult)
+                        has_sub = True
+                if not has_sub:
+                    # leaf non-matmul primitive: one standalone pass over
+                    # its operands. Higher-order eqns are excluded (their
+                    # bodies were walked; counting the stacked carriers
+                    # again would double-count).
+                    elems, nbytes = _eqn_elems_bytes(eqn)
+                    if elems >= EW_MIN_ELEMENTS:
+                        ew_bytes += nbytes * mult
 
     walk(closed.jaxpr, 1)
-    return census
+    return census, ew_bytes
 
 
 def _modeled_ceiling(fn, params, a, seconds: float, *,
                      needs_key: bool = True) -> dict:
     """Standalone-ops xRT: sum of this session's measured per-op walls
     (conv as conv, dot as dot, each with one output consumer pass) over
-    the config's own census — a faithful model of UNFUSED execution.
+    the config's own census, PLUS every sizable non-matmul pass priced at
+    the measured pure-streaming ceiling — a faithful model of UNFUSED
+    execution.
 
     Round-4 finding (PERF.md "Modeled ceiling, falsified"): this is a
     FLOOR, not a ceiling — XLA's fused configs beat their own ops-run-
@@ -415,14 +463,30 @@ def _modeled_ceiling(fn, params, a, seconds: float, *,
     is `fusion_gain_x = xrt / standalone_ops_xrt` (flag when < 1.0) and
     the true ceiling reference stays `mxu_pct`. (VERDICT r3 #6: the
     metric can now fail in a meaningful direction instead of printing
-    100 forever.)"""
+    100 forever.)
+
+    Round-5 fix (VERDICT r4 #3): the round-4 floor counted ONLY conv/dot
+    walls, so on element-rate-bound configs (DAC) it over-priced unfused
+    execution's matmuls while pricing its snake/residual/layout passes at
+    zero — producing fusion_gain_x 0.84-0.92 on a pipeline that a REAL
+    stage-split bisect shows is FASTER fused (104.65 vs 112.29 ms; PERF.md
+    "Fusion floor, round 5"). With the elementwise passes priced (at the
+    session's measured streaming ceiling — a lower bound on a standalone
+    pass, keeping the floor optimistic), the floor now faithfully models
+    PER-OP execution — the reference's torch-eager backend model, one
+    kernel per primitive (measured: DAC-44k floor 8.6 xRT vs 95 fused,
+    92.5% of the floor elementwise). That makes fusion_gain_x an
+    eager-vs-XLA statement, no longer a scheduler-regression flag; the
+    regression question is answered by the DIRECTLY MEASURED stage-split
+    baseline (`stage_split_xrt`, bench_dac) instead."""
     import jax
 
     if _over_budget("modeled-ceiling accounting"):
         return {}
     try:
         key = jax.random.key(0) if needs_key else None
-        census = _dot_shape_census(lambda p, x: fn(p, x, key), params, a)
+        census, ew_bytes = _dot_shape_census(
+            lambda p, x: fn(p, x, key), params, a)
         # Sub-10-MMAC ops take ~µs fused: counting them as free only
         # RAISES the modeled ceiling (conservative direction). Of the rest,
         # TIME only the top 12 by total MACs (each timing costs a compile
@@ -445,11 +509,18 @@ def _modeled_ceiling(fn, params, a, seconds: float, *,
             best_rate = max(best_rate, macs / w)
         for k_, kind, macs, count in big[12:]:
             wall += count * macs / best_rate
+        ew_wall = 0.0
+        if ew_bytes > 0.0:
+            stream_gbps = _measure_ceilings("float32").get("stream_gbps", 0.0)
+            if stream_gbps > 0.0:
+                ew_wall = ew_bytes / (stream_gbps * 1e9)
+                wall += ew_wall
         if wall <= 0.0:
             return {}
         batch = a.shape[0]
         return {"standalone_ops_xrt": seconds * batch / wall,
-                "modeled_census_shapes": len(census)}
+                "modeled_census_shapes": len(census),
+                "floor_ew_pct": round(100.0 * ew_wall / wall, 1)}
     except Exception as exc:  # accounting must never fail the bench
         print(f"modeled-ceiling accounting skipped: "
               f"{type(exc).__name__}: {exc}", file=__import__('sys').stderr)
@@ -476,11 +547,9 @@ def bench_snac(compute_dtype=None, decoder_dtype=None, batch: int = 1) -> dict:
     stats = _bench_forward(fwd, model.params, a, seconds,
                            iters=10 if batch == 1 else 5)
     if batch == 1:
-        # standalone-ops floor only where the dot/conv census covers the
-        # config (see _modeled_ceiling docstring) — at batch the excluded
-        # elementwise/VQ work grows with elements and the floor's blind
-        # spot dominates, so fusion_gain_x would measure the model's gap,
-        # not the program's
+        # standalone-ops floor on the single-stream line only (the north-
+        # star config; census + per-shape timing costs compiles over the
+        # tunnel, so don't pay it twice per family)
         stats.update(_modeled_ceiling(fwd, model.params, a, seconds))
     return stats
 
@@ -506,7 +575,45 @@ def bench_dac(decoder_dtype=None, batch: int = 1) -> dict:
     if batch == 1:  # floor scope: see bench_snac comment
         stats.update(_modeled_ceiling(fwd, model.params, a, seconds,
                                       needs_key=False))
+        stats.update(_dac_stage_split(model, a, chunks, seconds))
     return stats
+
+
+def _dac_stage_split(model, a, chunks, seconds: float) -> dict:
+    """Directly MEASURED stage-split baseline for the DAC-44k round-trip
+    (VERDICT r4 #3): encoder, RVQ and decoder timed as three separate jits
+    with device-resident handoff, summed. `stage_split_gain_x =
+    fused_xrt / stage_split_xrt` > 1.0 proves the fused whole beats the
+    best trivially-achievable alternative schedule — the ground truth the
+    round-4 census floor mis-modeled (it priced only conv/dot walls and
+    flagged 0.87-0.92 on a pipeline that is in fact ~7% FASTER fused;
+    PERF.md "Fusion floor, round 5"). Costs three extra compiles, paid only
+    on the B=1 DAC line."""
+    import jax
+
+    if _over_budget("dac stage-split baseline"):
+        return {}
+    try:
+        enc = lambda p, x, k: model._encoder_staged(p, x, chunks)
+        w_enc = _bench_forward(enc, model.params, a, seconds, iters=5,
+                               needs_key=False)["wall_s"]
+        z = jax.block_until_ready(
+            jax.jit(lambda p, x: model._encoder_staged(p, x, chunks))(
+                model.params, a))
+        rvq = lambda p, x, k: model._rvq(p, x, None)[0]
+        w_rvq = _bench_forward(rvq, model.params, z, seconds, iters=5,
+                               needs_key=False)["wall_s"]
+        zq = jax.block_until_ready(
+            jax.jit(lambda p, x: model._rvq(p, x, None)[0])(model.params, z))
+        dec = lambda p, x, k: model._decode_chunked_fn(p, x, chunks)
+        w_dec = _bench_forward(dec, model.params, zq, seconds, iters=5,
+                               needs_key=False)["wall_s"]
+        total = w_enc + w_rvq + w_dec
+        return {"stage_split_xrt": seconds / total} if total > 0 else {}
+    except Exception as exc:  # accounting must never fail the bench
+        print(f"stage-split baseline skipped: {type(exc).__name__}: {exc}",
+              file=__import__('sys').stderr)
+        return {}
 
 
 def bench_encodec(decoder_dtype=None) -> dict:
@@ -569,6 +676,37 @@ def bench_encodec48(decoder_dtype=None, batch: int = 4) -> dict:
         stats.update(_modeled_ceiling(fwd, model.params, a, seconds,
                                       needs_key=False))
     return stats
+
+
+def bench_encodec48_stream(n_full: int = 10) -> dict:
+    """Encodec 48 kHz stereo SINGLE STREAM, end-to-end (VERDICT r4 #4):
+    one ~10 s waveform through the production fused round-trip
+    (`Encodec._stream_roundtrip_fn`) — in-jit framing into 1 s chunks,
+    per-frame normalize, batched encode/RVQ/decode, scale restore and
+    triangular overlap-add, ONE device call for the whole stream. This is
+    the reference's published mode (Models/Encodec.cs:259-285 runs it as a
+    host loop per chunk); the fused program pays the serial-LSTM latency
+    once for all chunks, so single-stream xRT ~matches the chunk-batched
+    rate instead of the old 1 s x batch-4 framing that under-amortized it.
+    Stream length = stride*(n_full-1)+segment (full chunk coverage,
+    9.91 s at the 48k preset's 1% overlap)."""
+    import jax
+
+    from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
+
+    model = Encodec(EncodecConfig.encodec_48khz())
+    sr = model.config.sample_rate
+    segment, stride = model.segment_length, model.segment_stride
+    total = stride * (n_full - 1) + segment
+    seconds = total / sr
+    rng = np.random.default_rng(0)
+    a = jax.device_put(0.25 * rng.standard_normal(
+        (1, total, model.config.channels)).astype(np.float32))
+    n_q = model.quantizer.num_quantizers_for_bandwidth(model.frame_rate, 12.0)
+    stream_fn = model._stream_roundtrip_fn(n_full, 0, n_q)
+    fwd = lambda p, x, _k: stream_fn(p, x)
+    return _bench_forward(fwd, model.params, a, seconds, iters=5,
+                          needs_key=False)
 
 
 def bench_dsp() -> dict:
@@ -1010,6 +1148,8 @@ def main() -> None:
     _guarded("dac44_roundtrip_xRT", "--dac", bench_dac)
     _guarded("encodec24_roundtrip_xRT", "--enc24", bench_encodec)
     _guarded("encodec48_stereo_roundtrip_xRT", "--enc48", bench_encodec48)
+    _guarded("encodec48_stream10s_roundtrip_xRT", "--enc48",
+             bench_encodec48_stream)
     _guarded("encodec48_stereo_batch64_aggregate_xRT", "--enc48",
              lambda: bench_encodec48(batch=64))
     _guarded("audiotools_dsp_pipeline_xRT", "--dsp", bench_dsp)
