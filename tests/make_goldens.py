@@ -172,6 +172,96 @@ def make_dia_golden() -> None:
           f"lengths {np.asarray(lengths).tolist()}")
 
 
+def dia_ladder_model():
+    """Tiny Dia with STRUCTURED weights for the serving-ladder golden
+    (VERDICT r4 #10): the seeded init is reshaped so quantization error
+    behaves like it does on trained weights instead of iid noise —
+    per-output-channel scale diversity (log-uniform 0.5..2.0: stresses the
+    int8 per-vector grid the way trained channels with unequal magnitudes
+    do) plus a low-rank component at 0.5x the layer RMS (gives attention
+    heads preferred directions, so KV reads concentrate instead of
+    averaging out the cache's quantization noise)."""
+    from test_dia import tiny_config
+
+    from neuralcodecs_tpu.models.dia import Dia
+
+    cfg = tiny_config()
+    cfg.data.audio_length = 64
+    model = Dia(cfg, seed=SEED % (2**31))
+    rng = np.random.default_rng(SEED)
+    structured = {}
+    for name, v in model.params.items():
+        arr = np.asarray(v)
+        if arr.ndim >= 2 and "embedding" not in name:
+            flat = arr.reshape(-1, arr.shape[-1])
+            rms = float(np.sqrt(np.mean(flat**2))) or 1.0
+            u = rng.standard_normal((flat.shape[0], 1))
+            w = rng.standard_normal((1, flat.shape[1]))
+            lowrank = (u / max(np.linalg.norm(u), 1e-9)) @ (
+                w / max(np.linalg.norm(w), 1e-9))
+            flat = flat + 0.5 * rms * np.sqrt(flat.size) * lowrank
+            scales = np.exp(rng.uniform(np.log(0.5), np.log(2.0),
+                                        size=(1, flat.shape[-1])))
+            arr = (flat * scales).reshape(arr.shape).astype(arr.dtype)
+        structured[name] = arr
+    import jax.numpy as jnp
+
+    model.params = {k: jnp.asarray(v) for k, v in structured.items()}
+    return model
+
+
+DIA_LADDER_TEXTS = ["[S1]serving ladder golden", "[S2]second row"]
+DIA_LADDER_KW = dict(max_tokens=64, seed=11, temperature=1.2, top_k=32)
+
+
+def make_dia_ladder_golden() -> None:
+    """Freeze the FULL serving ladder's output (int8 KV cache + blocked
+    KV read + int8-MXU dots) from structured weights:
+
+    - quality gate: the GREEDY (temperature=0) ladder generation must
+      track the f32 full-read greedy baseline exactly for a minimum
+      number of steps per row (first-divergence floor). Full-sequence
+      match rate is stored but NOT gated: any autoregressive flip —
+      greedy included — diverges permanently, so sequence match measures
+      WHERE the first near-tie flipped, not how well the ladder tracks.
+      On these structured-but-synthetic tiny weights near-ties are dense
+      (measured: first flips at steps 9/16 of 61); real trained weights
+      have far wider logit gaps, which is what the real-weight parity
+      pack (tools/parity_pack.py) is for.
+    - regression pin: the ladder's codes at the SERVING sampling settings
+      (temperature 1.2, top-k) frozen exactly, plus the greedy pair.
+    """
+    model = dia_ladder_model()
+    greedy_kw = dict(DIA_LADDER_KW, temperature=0.0)
+    ref, ref_len = model.generate_codes(DIA_LADDER_TEXTS, **greedy_kw)
+    model.enable_int8_kv_cache()
+    model.kv_read_block = 16   # divides the 64-token buffer
+    model.kv_dot_int8 = True
+    ladder, ladder_len = model.generate_codes(DIA_LADDER_TEXTS, **greedy_kw)
+    ref_np, lad_np = np.asarray(ref), np.asarray(ladder)
+    n = min(ref_np.shape[1], lad_np.shape[1])
+    match = float(np.mean(ref_np[:, :n] == lad_np[:, :n]))
+    first_div = []
+    for b in range(ref_np.shape[0]):
+        eq = (ref_np[b, :n] == lad_np[b, :n]).all(axis=-1)
+        first_div.append(int(np.argmin(eq)) if not eq.all() else n)
+    served, served_len = model.generate_codes(DIA_LADDER_TEXTS,
+                                              **DIA_LADDER_KW)
+    payload = {f"sd/{k}": np.asarray(v) for k, v in model.params.items()}
+    payload["ref_codes"] = np.asarray(ref).astype(np.int16)
+    payload["ref_lengths"] = np.asarray(ref_len).astype(np.int32)
+    payload["ladder_codes"] = np.asarray(ladder).astype(np.int16)
+    payload["ladder_lengths"] = np.asarray(ladder_len).astype(np.int32)
+    payload["served_codes"] = np.asarray(served).astype(np.int16)
+    payload["served_lengths"] = np.asarray(served_len).astype(np.int32)
+    payload["greedy_match_rate"] = np.float64(match)
+    payload["first_divergence_steps"] = np.asarray(first_div, np.int32)
+    np.savez_compressed(GOLDEN_DIR / "dia_ladder_golden.npz", **payload)
+    print(f"dia_ladder_golden: greedy ladder-vs-baseline match {match:.4f}, "
+          f"first divergence {first_div}, "
+          f"served codes {tuple(np.asarray(served).shape)}")
+
+
 # ---------------------------------------------------------------- full-size
 
 FULLSIZE_SECONDS = 0.5
@@ -231,6 +321,7 @@ if __name__ == "__main__":
     make_dac_golden()
     make_ecdc_golden()
     make_dia_golden()
+    make_dia_ladder_golden()
     make_fullsize_golden()
     for p in sorted(GOLDEN_DIR.glob("*.npz")):
         print(f"{p.name}: {p.stat().st_size / 1e6:.2f} MB")

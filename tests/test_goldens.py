@@ -163,3 +163,60 @@ def test_fullsize_golden_codes_and_audio():
                                   err_msg="full-size DAC codes drifted")
     np.testing.assert_allclose(np.asarray(out["audio"])[0, ::64],
                                g["dac/decoded_dec64"], rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_dia_serving_ladder_golden():
+    """The FULL Dia serving ladder (int8 KV cache + blocked KV read +
+    int8-MXU dots, VERDICT r4 #10) pinned from structured weights:
+
+    - the ladder's greedy and serving-temperature code sequences must
+      reproduce the frozen golden exactly (any numeric drift in the
+      quantized cache/read/dot path fails here);
+    - quality gate with a fixed threshold: the ladder tracks the f32
+      full-read greedy baseline exactly for >= 8 steps per row before
+      the first near-tie flip (sequence-level match CASCADES after one
+      flip, so the gate is divergence onset, not whole-sequence rate —
+      see make_goldens.make_dia_ladder_golden docstring).
+    """
+    import jax.numpy as jnp
+
+    from make_goldens import (DIA_LADDER_KW, DIA_LADDER_TEXTS,
+                              dia_ladder_model)
+
+    g = _load("dia_ladder_golden.npz")
+    model = dia_ladder_model()
+    for k in model.params:  # structured-weight derivation must not drift
+        np.testing.assert_array_equal(
+            np.asarray(model.params[k]), g[f"sd/{k}"],
+            err_msg=f"structured Dia init drifted for {k}")
+    model.params = {k: jnp.asarray(g[f"sd/{k}"]) for k in model.params}
+    model.enable_int8_kv_cache()
+    model.kv_read_block = 16
+    model.kv_dot_int8 = True
+    # ladder actually engaged (not silently gated off)
+    assert model._resolve_kv_block(64) == 16
+    assert model._resolve_kv_dot(64) is True
+
+    greedy_kw = dict(DIA_LADDER_KW, temperature=0.0)
+    ladder, lengths = model.generate_codes(DIA_LADDER_TEXTS, **greedy_kw)
+    np.testing.assert_array_equal(np.asarray(ladder).astype(np.int16),
+                                  g["ladder_codes"])
+    np.testing.assert_array_equal(np.asarray(lengths).astype(np.int32),
+                                  g["ladder_lengths"])
+    served, served_len = model.generate_codes(DIA_LADDER_TEXTS,
+                                              **DIA_LADDER_KW)
+    np.testing.assert_array_equal(np.asarray(served).astype(np.int16),
+                                  g["served_codes"])
+    np.testing.assert_array_equal(np.asarray(served_len).astype(np.int32),
+                                  g["served_lengths"])
+
+    # fixed-threshold quality gate, recomputed (not trusted from the file)
+    ref, lad = g["ref_codes"], g["ladder_codes"]
+    n = min(ref.shape[1], lad.shape[1])
+    for b in range(ref.shape[0]):
+        eq = (ref[b, :n] == lad[b, :n]).all(axis=-1)
+        first_div = int(np.argmin(eq)) if not eq.all() else n
+        assert first_div >= 8, (
+            f"row {b}: serving ladder diverges from the f32 baseline at "
+            f"step {first_div} (< 8) — quantized-read quality regressed")
