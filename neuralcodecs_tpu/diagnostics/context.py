@@ -120,6 +120,87 @@ class DiagnosticsContext:
         np.save(path, np.asarray(tensor))
         return path
 
+    def generate_comparison_script(self, path: str | Path) -> Path:
+        """Write a STANDALONE numpy-only script that compares this
+        context's .npy dump directory against another implementation's
+        dumps (counterpart of DiagnosticsContext.GenerateComparisonScript,
+        /root/reference/NeuralCodecs.Diagnostics/DiagnosticsContext.cs:265
+        + TensorLogger.cs:214 — there it emits Python that parses the C#
+        binary tensor format; here both sides are .npy, so the generated
+        script diffs two dump directories by matching file names)."""
+        assert self.dump_dir is not None, "dump_dir not configured"
+        path = Path(path)
+        dump = str(self.dump_dir.resolve())
+        script = f'''#!/usr/bin/env python
+"""Auto-generated by neuralcodecs_tpu DiagnosticsContext.
+
+Compare the tensor dumps of this run against another implementation's:
+
+    python {path.name} <other_dump_dir> [--rtol 1e-5] [--atol 1e-6]
+
+Matches files by name ("<name>.npy" in both directories), prints per-
+tensor stats, max/mean absolute difference and correlation, and exits
+nonzero if any matched tensor exceeds tolerance.
+"""
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REFERENCE_DUMP_DIR = {dump!r}
+
+
+def stats(x):
+    x = np.asarray(x, np.float64)
+    return f"min={{x.min():.6g}} max={{x.max():.6g}} mean={{x.mean():.6g}}"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("other", help="dump dir of the other implementation")
+    ap.add_argument("--mine", default=REFERENCE_DUMP_DIR)
+    ap.add_argument("--rtol", type=float, default=1e-5)
+    ap.add_argument("--atol", type=float, default=1e-6)
+    args = ap.parse_args()
+    mine, other = Path(args.mine), Path(args.other)
+    names = sorted(p.name for p in mine.glob("*.npy"))
+    if not names:
+        print(f"no .npy dumps in {{mine}}", file=sys.stderr)
+        return 2
+    failures = 0
+    for name in names:
+        peer = other / name
+        if not peer.exists():
+            print(f"{{name}}: MISSING in {{other}}")
+            failures += 1
+            continue
+        a, b = np.load(mine / name), np.load(peer)
+        if a.shape != b.shape:
+            print(f"{{name}}: shape {{a.shape}} vs {{b.shape}} MISMATCH")
+            failures += 1
+            continue
+        diff = np.abs(a.astype(np.float64) - b.astype(np.float64))
+        tol = args.atol + args.rtol * np.abs(b).astype(np.float64)
+        bad = int((diff > tol).sum())
+        corr = 1.0
+        if a.size > 1 and a.std() > 0 and b.std() > 0:
+            corr = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+        verdict = "ok" if bad == 0 else f"FAIL ({{bad}}/{{a.size}} beyond tol)"
+        print(f"{{name}}: {{verdict}} max_diff={{diff.max():.6g}} "
+              f"mean_diff={{diff.mean():.6g}} corr={{corr:.6f}}")
+        print(f"  mine:  {{stats(a)}}")
+        print(f"  other: {{stats(b)}}")
+        failures += bad > 0
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
+'''
+        path.write_text(script)
+        return path
+
     # --------------------------------------------------------------- summary
 
     def summary(self) -> str:

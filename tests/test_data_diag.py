@@ -191,3 +191,40 @@ def test_xplane_parser_on_real_trace(tmp_path):
     assert totals and all(isinstance(v, int) and v >= 0 for v in totals.values())
     rows = summarize_trace(tmp_path, plane_filter="")
     assert rows and rows[0][1] >= rows[-1][1]  # sorted descending
+
+
+def test_generate_comparison_script(tmp_path):
+    """The generated standalone script (DiagnosticsContext.cs:265 analog)
+    diffs two dump dirs: exit 0 on agreement, nonzero on drift/missing."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from neuralcodecs_tpu.diagnostics.context import DiagnosticsContext
+
+    mine = tmp_path / "mine"
+    ctx = DiagnosticsContext(dump_dir=mine)
+    rng = np.random.default_rng(0)
+    t = rng.standard_normal((4, 8)).astype(np.float32)
+    ctx.dump_tensor("enc_out", t)
+    ctx.dump_tensor("codes", np.arange(12, dtype=np.int32))
+    script = ctx.generate_comparison_script(tmp_path / "compare.py")
+    assert script.exists()
+
+    agree = tmp_path / "theirs_ok"
+    agree.mkdir()
+    np.save(agree / "enc_out.npy", t.copy())
+    np.save(agree / "codes.npy", np.arange(12, dtype=np.int32))
+    r = subprocess.run([sys.executable, str(script), str(agree)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "enc_out.npy: ok" in r.stdout
+
+    drift = tmp_path / "theirs_bad"
+    drift.mkdir()
+    np.save(drift / "enc_out.npy", t + 0.01)  # beyond tolerance
+    r = subprocess.run([sys.executable, str(script), str(drift)],
+                       capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "FAIL" in r.stdout and "MISSING" in r.stdout  # codes.npy absent
