@@ -689,7 +689,13 @@ def bench_encodec48_stream(n_full: int = 10) -> dict:
     once for all chunks, so single-stream xRT ~matches the chunk-batched
     rate instead of the old 1 s x batch-4 framing that under-amortized it.
     Stream length = stride*(n_full-1)+segment (full chunk coverage,
-    9.91 s at the 48k preset's 1% overlap)."""
+    9.91 s at the 48k preset's 1% overlap).
+
+    Two lengths are reported: n_full=10 (~10 s — pays the 8-row batch
+    grain: 10 chunks zero-pad to 16, measured 221.7x) and n_full=32
+    (~32 s, the whole-file compression mode the reference publishes —
+    measured 364x, the per-chunk asymptote ~2.7 ms on this allocation;
+    PERF.md "Encodec-48k single stream, round 5")."""
     import jax
 
     from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
@@ -1150,6 +1156,8 @@ def main() -> None:
     _guarded("encodec48_stereo_roundtrip_xRT", "--enc48", bench_encodec48)
     _guarded("encodec48_stream10s_roundtrip_xRT", "--enc48",
              bench_encodec48_stream)
+    _guarded("encodec48_stream32s_roundtrip_xRT", "--enc48",
+             lambda: bench_encodec48_stream(n_full=32))
     _guarded("encodec48_stereo_batch64_aggregate_xRT", "--enc48",
              lambda: bench_encodec48(batch=64))
     _guarded("audiotools_dsp_pipeline_xRT", "--dsp", bench_dsp)

@@ -329,6 +329,8 @@ def test_stream_roundtrip_fastpath_matches_frames(rng):
         (dict(chunk_length_s=0.05, overlap=0.01, normalize=True,
               channels=2, use_causal_conv=False,
               norm_type="time_group_norm"), 0.23),
+        # > 8 chunks: exercises the zero-chunk row padding (rows 10 -> 16)
+        (dict(chunk_length_s=0.05, overlap=0.01, normalize=True), 0.5),
     ]:
         cfg = tiny_config(**over)
         model = Encodec(cfg)
