@@ -116,7 +116,12 @@ def _print_summary() -> None:
 # headline lines run first and are never skipped; every optional tail
 # checks the budget and prints a skip notice to stderr instead of
 # silently vanishing when the driver kills the process.
-_BUDGET_S = float(os.environ.get("NC_BENCH_BUDGET_S", "2100"))
+# Round-5 bump 2100 -> 2600: the stage-split baseline (3 compiles) and the
+# two fused-stream lines added ~250 s and pushed the batch-8 aggregates over
+# the old budget. A hard driver timeout is survivable now regardless — the
+# SIGTERM handler prints the all-metrics summary line of whatever was
+# measured — so the soft budget only needs to leave room for that print.
+_BUDGET_S = float(os.environ.get("NC_BENCH_BUDGET_S", "2600"))
 
 
 def _over_budget(label: str) -> bool:

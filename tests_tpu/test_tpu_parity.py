@@ -244,3 +244,28 @@ def test_blocked_int8_dot_read_bounded_on_tpu(rng):
                                               block, int8_dot=True))
         err = float(np.linalg.norm(out - ref) / np.linalg.norm(ref))
         assert err < 0.03, (step, err)
+
+
+def test_stream_roundtrip_fastpath_on_tpu(rng):
+    """The fused single-call Encodec stream round-trip (round 5) matches
+    the frames API on the REAL chip, including the 8-row chunk-batch
+    padding path (rows 10 -> 16) that only the TPU backend exercises
+    with its own fusion/layout choices."""
+    from neuralcodecs_tpu.models.encodec import Encodec, EncodecConfig
+
+    cfg = EncodecConfig(
+        sampling_rate=16000, channels=2, bandwidth=80.0,
+        target_bandwidths=[20.0, 80.0], codebook_size=32, codebook_dim=16,
+        hidden_size=16, num_filters=8, num_lstm_layers=2,
+        num_residual_layers=1, upsampling_ratios=[4, 2],
+        use_causal_conv=False, norm_type="time_group_norm",
+        chunk_length_s=0.05, overlap=0.01, normalize=True)
+    model = Encodec(cfg)
+    n = int(cfg.sample_rate * 0.5)  # ~10 full chunks + tail -> padded rows
+    audio = (0.3 * rng.standard_normal((cfg.channels, n))).astype(np.float32)
+    want = np.asarray(model.decode(model.encode(audio)))[..., :n]
+    got = np.asarray(model.forward(audio))
+    assert got.shape == want.shape
+    diff = np.abs(got - want)
+    assert float(diff.max()) < 1e-3, float(diff.max())
+    assert float(np.mean(diff > 1e-4)) < 0.02
