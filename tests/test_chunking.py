@@ -209,6 +209,7 @@ def test_batched_chunked_matches_per_stream_snac(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_batched_chunked_matches_per_stream_dac(rng):
     from neuralcodecs_tpu.models.dac import DAC, DACConfig
 

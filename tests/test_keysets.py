@@ -88,6 +88,7 @@ def _assert_full_consumption(model, fixture: dict, seed: int = 0,
     return model
 
 
+@pytest.mark.slow
 def test_snac_24khz_keyset_consumed():
     from neuralcodecs_tpu.models.snac import SNAC, SNACConfig
 
