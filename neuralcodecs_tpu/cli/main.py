@@ -114,9 +114,17 @@ def cmd_roundtrip(args) -> int:
 
             event_log.open_jsonl(args.events)
 
-    signal = AudioSignal.load(args.input).to_mono()
     model = _load_codec(args.codec, args.model, args.preset)
-    audio = np.asarray(signal.audio_data[0, 0])
+    signal = AudioSignal.load(args.input)
+    # match the model's channel layout: multichannel codecs (Encodec-48k
+    # stereo) take [C, T]; mono codecs take a mixdown (reference examples
+    # do the same per codec)
+    channels = getattr(model.config, "channels", 1)
+    if channels <= 1:
+        signal = signal.to_mono()
+        audio = np.asarray(signal.audio_data[0, 0])
+    else:
+        audio = np.asarray(signal.audio_data[0])  # [C, T]
 
     start = time.perf_counter()
     out = model.process_audio(audio, signal.sample_rate)
@@ -127,15 +135,18 @@ def cmd_roundtrip(args) -> int:
 
     sr = model.config.sample_rate
     AudioSignal(out, sr).write(args.output)
+    mono_in = audio if audio.ndim == 1 else audio.mean(axis=0)
+    mono_out = out if out.ndim == 1 else out.mean(axis=0)
     print(json.dumps({
-        "input": audio_stats(audio, signal.sample_rate),
-        "output": audio_stats(out, sr),
+        "input": audio_stats(mono_in, signal.sample_rate),
+        "output": audio_stats(mono_out, sr),
         "elapsed_s": elapsed,
-        "x_realtime": (len(out) / sr) / max(elapsed, 1e-9),
+        "x_realtime": (out.shape[-1] / sr) / max(elapsed, 1e-9),
     }, indent=2))
     if args.spectrograms:
         resampled_in = np.asarray(signal.resample(sr).audio_data[0, 0])
-        stats = compare_spectrograms(resampled_in, out, sr,
+        stats = compare_spectrograms(resampled_in,
+                                     out if out.ndim == 1 else out[0], sr,
                                      Path(args.output).parent)
         print(json.dumps(stats, indent=2))
     return 0

@@ -56,6 +56,23 @@ def _normalize_source_names(sd: StateDict) -> StateDict:
     return out
 
 
+def _pad_rows8(x: jax.Array, value: float = 0.0):
+    """Pad the leading (chunk-batch) axis up to a multiple of 8.
+
+    Chunk batches that are not a multiple of 8 rows hit an XLA slow path
+    at the 48k shapes — measured round 5: 10 chunks cost MORE than 16
+    (50.7 vs 44.6 ms; PERF.md "Encodec-48k single stream") — so every
+    batched chunk dispatch pads with dummy rows and drops them from the
+    result (row-independent math: codes/outputs of real rows unchanged).
+    Returns (padded, original_rows)."""
+    rows = x.shape[0]
+    pad = (-rows) % 8 if rows > 8 else 0
+    if not pad:
+        return x, rows
+    filler = jnp.full((pad, *x.shape[1:]), value, x.dtype)
+    return jnp.concatenate([x, filler], axis=0), rows
+
+
 class Encodec:
     """Public Encodec codec (API mirrors Models/Encodec.cs)."""
 
@@ -319,6 +336,7 @@ class Encodec:
         if full:
             stacked = jnp.concatenate(
                 [x[:, o: o + segment, :] for o in full], axis=0)
+            stacked, rows = _pad_rows8(stacked)
             codes, scale = fn(self.params, stacked)
             for i, offset in enumerate(full):
                 sl = slice(i * batch, (i + 1) * batch)
@@ -350,6 +368,9 @@ class Encodec:
             codes = jnp.concatenate([f.codes for f in group], axis=0)
             scale = (None if group[0].scale is None
                      else jnp.concatenate([f.scale for f in group], axis=0))
+            codes, rows = _pad_rows8(codes)
+            if scale is not None and codes.shape[0] != scale.shape[0]:
+                scale, _ = _pad_rows8(scale, value=1.0)
             out = self._decode_frame_fn(self.params, codes, scale)
             for j, i in enumerate(idx_list):
                 decoded[i] = jnp.swapaxes(
@@ -384,6 +405,9 @@ class Encodec:
         return out[..., : x.shape[1]]
 
     def process_audio(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+        """1-D [T] or [C, T] in -> same channel layout out ([C, T] for the
+        stereo 48k model; duplicates a mono input across the model's
+        channels, as the reference's stereo examples do)."""
         from neuralcodecs_tpu.diagnostics.context import get_diagnostics
 
         audio = np.asarray(audio, dtype=np.float32)
@@ -391,6 +415,12 @@ class Encodec:
             from neuralcodecs_tpu.dsp.resample import resample_poly
 
             audio = np.asarray(resample_poly(audio, sample_rate, self.config.sample_rate))
+        channels = self.config.channels
+        if channels > 1:
+            if audio.ndim == 1:
+                audio = np.broadcast_to(audio, (channels, audio.shape[-1]))
+            elif audio.shape[0] == 1:
+                audio = np.broadcast_to(audio, (channels, audio.shape[-1]))
         diag = get_diagnostics()
         if diag.enabled:
             x = self._prepare(audio)
@@ -404,9 +434,15 @@ class Encodec:
             with diag.track_scope("encodec.decode"):
                 out = np.asarray(self.decode(frames))[..., : x.shape[1]]
             diag.log_tensor("encodec.decode", "audio_out", out)
-            return out[0, 0] if out.ndim == 3 else out
+            return self._squeeze_out(out)
         out = self.forward(audio)
-        return np.asarray(out[0, 0] if out.ndim == 3 else out)
+        return self._squeeze_out(np.asarray(out))
+
+    def _squeeze_out(self, out: np.ndarray) -> np.ndarray:
+        """[B, C, T] -> [C, T] (stereo) or [T] (mono)."""
+        if out.ndim == 3:
+            return out[0] if out.shape[1] > 1 else out[0, 0]
+        return out
 
     # ---- language model ------------------------------------------------------
 

@@ -258,3 +258,28 @@ def test_encodec_mixed_precision_codes_bit_exact(rng):
     assert out_m.dtype == np.float32
     assert np.isfinite(out_m).all()
     assert np.abs(out_f - out_m).max() < 0.1
+
+
+def test_process_audio_stereo_layout(rng):
+    """process_audio keeps the model's channel layout ([C, T] in -> [C, T]
+    out for the stereo preset; mono input is duplicated across channels) —
+    the CLI roundtrip path for encodec-48khz (was: 'Expected 2 channels,
+    got 1' because the CLI mixed to mono; round 5)."""
+    cfg = tiny_config(channels=2, chunk_length_s=0.05, overlap=0.01,
+                      normalize=True, use_causal_conv=False,
+                      norm_type="time_group_norm")
+    model = Encodec(cfg)
+    n = int(cfg.sample_rate * 0.12)
+    stereo = (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+    out = model.process_audio(stereo, cfg.sample_rate)
+    assert out.shape == (2, n)
+    mono = stereo[0]
+    out_m = model.process_audio(mono, cfg.sample_rate)
+    assert out_m.shape == (2, n)  # duplicated into the stereo model
+    # mono path unchanged for the mono preset
+    mcfg = tiny_config()
+    mmodel = Encodec(mcfg)
+    m = int(mcfg.sample_rate * 0.1)
+    out1 = mmodel.process_audio(
+        (0.3 * rng.standard_normal(m)).astype(np.float32), mcfg.sample_rate)
+    assert out1.ndim == 1 and out1.shape[0] == m
