@@ -326,6 +326,13 @@ class GitHubRepository:
                         f"LFS object {oid[:12]} for {name}: "
                         f"{obj['error'].get('message', 'unavailable')}", source)
                 href = obj["actions"]["download"]["href"]
+                # the href is attacker-influenced data from a parsed
+                # response; never let it downgrade to http:// or pivot to a
+                # local scheme (file:// would make urlopen read local files)
+                if not isinstance(href, str) or not href.startswith("https://"):
+                    raise RepositoryError(
+                        f"LFS media href for {name} is not https: {href!r}",
+                        source)
             except RepositoryError:
                 raise
             except Exception as exc:

@@ -277,6 +277,36 @@ def test_github_lfs_media_verification_failure(tmp_path, monkeypatch):
     assert not (tmp_path / "model.pt").exists()
 
 
+def test_github_lfs_rejects_non_https_href(tmp_path, monkeypatch):
+    """A batch-API response pointing the media href at file:// (or http://)
+    must be rejected before any download is attempted — urlopen would
+    otherwise follow a file:// href into the local filesystem."""
+    import neuralcodecs_tpu.core.repos as repos_mod
+    from neuralcodecs_tpu.core.exceptions import RepositoryError
+    from neuralcodecs_tpu.core.repos import GitHubRepository
+
+    media = b"real-weights" * 8
+    pointer = _lfs_pointer_bytes(media)
+    media_downloads = []
+
+    def fake_download(url, dest, events=None, source=""):
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        if "lfs-media" in url:
+            media_downloads.append(url)
+        dest.write_bytes(pointer)
+        return dest
+
+    monkeypatch.setattr(repos_mod, "_download_file", fake_download)
+    monkeypatch.setattr(
+        repos_mod, "_http_post_json",
+        lambda url, payload, headers=None: {"objects": [
+            {"actions": {"download": {"href": "file:///etc/lfs-media"}}}]})
+    with pytest.raises(RepositoryError, match="not https"):
+        GitHubRepository().download_model(
+            "https://github.com/owner/repo/raw/main/model.pt", "main", tmp_path)
+    assert media_downloads == []  # rejected before the fetch
+
+
 def test_parse_lfs_pointer_rejects_malformed(tmp_path):
     from neuralcodecs_tpu.core.exceptions import RepositoryError
     from neuralcodecs_tpu.core.repos import parse_lfs_pointer
