@@ -40,7 +40,7 @@ from neuralcodecs_tpu.ops.chunking import (
     split_chunks,
     stitch_chunks,
 )
-from neuralcodecs_tpu.ops.vq import codebook_lookup, l2_argmin_codes
+from neuralcodecs_tpu.ops.vq import codebook_lookup, cosine_argmin_codes
 
 
 class _EncoderBlock(Sequential):
@@ -95,7 +95,12 @@ class _VectorQuantizer:
         """z: [B, T, C] -> (z_q, commit_loss [B], codebook_loss [B], codes, z_e)."""
         z_e = self.in_proj(params, z).astype(jnp.float32)
         codebook = params[f"{self.prefix}.codebook.weight"]
-        codes = l2_argmin_codes(z_e, codebook)
+        # upstream descript-audio-codec's ViT-VQGAN normalized lookup,
+        # validated bit-exact vs the independent transformers DacModel
+        # (tests/test_cross_transformers.py). The C# reference comments
+        # but omits the normalization (VectorQuantizer.cs:110-118);
+        # PARITY.md "Known divergences".
+        codes = cosine_argmin_codes(z_e, codebook)
         z_q = codebook_lookup(codes, codebook).astype(jnp.float32)
         commit = jnp.mean(
             (z_e - jax.lax.stop_gradient(z_q)) ** 2, axis=(1, 2))
@@ -358,7 +363,7 @@ class DAC:
             vq = self.quantizers[i]
             z_e = latents[..., dims[i]: dims[i + 1]].astype(jnp.float32)
             codebook = params[f"{vq.prefix}.codebook.weight"]
-            stage_codes = l2_argmin_codes(z_e, codebook)
+            stage_codes = cosine_argmin_codes(z_e, codebook)
             z_p = codebook_lookup(stage_codes, codebook)
             contrib = vq.out_proj(params, z_p)
             z_q = contrib if z_q is None else z_q + contrib

@@ -49,7 +49,7 @@ from neuralcodecs_tpu.ops.chunking import (
     split_chunks,
     stitch_chunks,
 )
-from neuralcodecs_tpu.ops.vq import codebook_lookup, l2_argmin_codes
+from neuralcodecs_tpu.ops.vq import codebook_lookup, cosine_argmin_codes
 
 
 class _EncoderBlock(Sequential):
@@ -134,7 +134,10 @@ class _VectorQuantizer:
             z = z.reshape(b, t // self.stride, self.stride, c).mean(axis=2)
         z_e = self.in_proj(params, z).astype(jnp.float32)
         codebook = params[f"{self.prefix}.codebook.weight"]
-        codes = l2_argmin_codes(z_e, codebook)
+        # upstream SNAC's ViT-VQGAN normalized lookup (the C# reference
+        # comments but omits the normalization, VectorQuantizer.cs:125-134;
+        # PARITY.md "Known divergences")
+        codes = cosine_argmin_codes(z_e, codebook)
         z_q = codebook_lookup(codes, codebook).astype(z_e.dtype)
         z_q = z_e + jax.lax.stop_gradient(z_q - z_e)  # straight-through
         z_q = self.out_proj(params, z_q)

@@ -12,7 +12,11 @@ from neuralcodecs_tpu.ops.conv import (
     torch_conv_transpose_weight_to_hio,
 )
 from neuralcodecs_tpu.ops.snake import snake
-from neuralcodecs_tpu.ops.vq import l2_argmin_codes, codebook_lookup
+from neuralcodecs_tpu.ops.vq import (
+    codebook_lookup,
+    cosine_argmin_codes,
+    l2_argmin_codes,
+)
 
 __all__ = [
     "conv1d",
@@ -21,5 +25,6 @@ __all__ = [
     "torch_conv_transpose_weight_to_hio",
     "snake",
     "l2_argmin_codes",
+    "cosine_argmin_codes",
     "codebook_lookup",
 ]

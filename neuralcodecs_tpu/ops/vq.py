@@ -5,6 +5,11 @@ Counterpart of the reference's DecodeLatents distance search
 and Modules/DAC/VectorQuantizer.cs:99-125, Modules/Encodec/EuclideanCodebook.cs:155-182):
 dist = ‖x‖² + ‖e‖² − 2·x·e, argmin over codebook entries.
 
+Two lookup flavors: `l2_argmin_codes` (plain euclidean — Encodec's
+EuclideanCodebook) and `cosine_argmin_codes` (ViT-VQGAN normalized lookup —
+SNAC/DAC factorized codebooks; see its docstring for the reference port-bug
+note, PARITY.md "Known divergences" #12).
+
 Two device paths:
   * `l2_argmin_codes` — pure-XLA formulation (a thin MXU matmul + argmin).
     The ‖x‖² term is dropped: it is constant per row and cannot change the
@@ -60,6 +65,36 @@ def _l2_argmin_xla(flat: jax.Array, codebook: jax.Array) -> jax.Array:
     cross = jnp.dot(flat, codebook.T, preferred_element_type=jnp.float32)  # [T, N]
     scores = e_sq[None, :] - 2.0 * cross
     return jnp.argmin(scores, axis=-1).astype(jnp.int32)
+
+
+def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Row-wise L2 normalization over the last axis.
+
+    Matches torch.nn.functional.normalize(p=2, dim=-1): x / max(‖x‖, eps)."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def cosine_argmin_codes(latents: jax.Array, codebook: jax.Array, *,
+                        use_pallas: bool | None = None) -> jax.Array:
+    """Nearest codebook entry under the ViT-VQGAN **normalized** lookup:
+    both encodings and codebook rows are L2-normalized before the distance,
+    turning euclidean distance into cosine similarity.
+
+    This is the lookup the upstream descript-audio-codec (and SNAC, which
+    adapts its VQ) actually runs — validated bit-exact against the
+    independent HF-transformers DacModel (tests/test_cross_transformers.py).
+    The C# reference *comments* the normalization but never applies it
+    (Modules/DAC/VectorQuantizer.cs:110-118 and
+    Modules/SNAC/VectorQuantizer.cs:125-134 compute plain L2 on the raw
+    tensors) — a port bug we deliberately do not reproduce, recorded in
+    PARITY.md "Known divergences". Encodec's EuclideanCodebook keeps the
+    plain `l2_argmin_codes` (upstream encodec does not normalize).
+
+    The returned indices embed to the UN-normalized codebook entries
+    (`codebook_lookup` on the raw codebook), as upstream does."""
+    return l2_argmin_codes(l2_normalize(latents), l2_normalize(codebook),
+                           use_pallas=use_pallas)
 
 
 def codebook_lookup(codes: jax.Array, codebook: jax.Array) -> jax.Array:

@@ -148,9 +148,14 @@ class VectorQuantizerT(nn.Module):
         b, d, t = latents.shape
         enc = latents.transpose(1, 2).reshape(-1, d)
         cb = self.codebook.weight
-        dist = (enc.pow(2).sum(1, keepdim=True)
-                + cb.pow(2).sum(1, keepdim=True).t()
-                - 2 * enc @ cb.t())
+        # upstream SNAC/DAC ViT-VQGAN lookup: L2-normalize encodings and
+        # codebook before the distance (the C# reference comments but omits
+        # this, VectorQuantizer.cs:125-134 — PARITY.md "Known divergences");
+        # the selected index still embeds to the UN-normalized entry
+        enc_n, cb_n = F.normalize(enc), F.normalize(cb)
+        dist = (enc_n.pow(2).sum(1, keepdim=True)
+                + cb_n.pow(2).sum(1, keepdim=True).t()
+                - 2 * enc_n @ cb_n.t())
         idx = dist.argmin(1).reshape(b, t)
         return self.codebook(idx).transpose(1, 2), idx
 
@@ -239,9 +244,11 @@ class DACVectorQuantizerT(nn.Module):
         b, d, t = z_e.shape
         enc = z_e.transpose(1, 2).reshape(-1, d)
         cb = self.codebook.weight
-        dist = (enc.pow(2).sum(1, keepdim=True)
-                + cb.pow(2).sum(1, keepdim=True).t()
-                - 2 * enc @ cb.t())
+        # normalized ViT-VQGAN lookup (see VectorQuantizerT.decode_latents)
+        enc_n, cb_n = F.normalize(enc), F.normalize(cb)
+        dist = (enc_n.pow(2).sum(1, keepdim=True)
+                + cb_n.pow(2).sum(1, keepdim=True).t()
+                - 2 * enc_n @ cb_n.t())
         idx = dist.argmin(1).reshape(b, t)
         z_q = self.codebook(idx).transpose(1, 2)
         commit = F.mse_loss(z_e, z_q.detach(), reduction="none").mean([1, 2])

@@ -108,6 +108,21 @@ def test_l2_argmin_matches_torch_cdist(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_cosine_argmin_matches_torch_normalized_cdist(rng):
+    """cosine_argmin_codes == argmin of cdist over F.normalize'd rows (the
+    upstream descript/SNAC ViT-VQGAN lookup; PARITY.md divergence #12)."""
+    import torch.nn.functional as F
+
+    from neuralcodecs_tpu.ops.vq import cosine_argmin_codes
+
+    x = _rand(rng, 257, 8)
+    cb = _rand(rng, 1024, 8)
+    ref = torch.cdist(F.normalize(torch.from_numpy(x)),
+                      F.normalize(torch.from_numpy(cb))).argmin(1).numpy()
+    got = np.asarray(cosine_argmin_codes(x, cb, use_pallas=False))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_l2_argmin_pallas_interpret_matches_xla(rng):
     """Pallas kernel (interpreter mode on CPU) vs the XLA path."""
     from neuralcodecs_tpu.ops.pallas import codebook as cb_mod
