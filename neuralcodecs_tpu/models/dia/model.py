@@ -197,11 +197,21 @@ class Dia:
         if blk and buffer_len % blk:
             if explicit:  # ADVICE r4: never drop a user-requested
                 # optimization silently — say why the flag was ignored
-                print(f"dia: kv_read_block={blk} does not divide the "
-                      f"generation buffer ({buffer_len}); falling back to "
-                      f"the full-cache read", file=sys.stderr)
+                self._notice_once(
+                    f"dia: kv_read_block={blk} does not divide the "
+                    f"generation buffer ({buffer_len}); falling back to "
+                    f"the full-cache read")
             blk = 0  # non-divisible buffer: fall back to the full read
         return blk
+
+    def _notice_once(self, msg: str) -> None:
+        """stderr notice deduplicated per model instance: bucket resolution
+        runs once per generate() call, so a serving process would otherwise
+        repeat the same gating notice for every request."""
+        seen = self.__dict__.setdefault("_notices_seen", set())
+        if msg not in seen:
+            seen.add(msg)
+            print(msg, file=sys.stderr)
 
     def _resolve_kv_dot(self, buffer_len: int) -> bool:
         """int8-dot read applies only on the blocked path over an int8
@@ -212,9 +222,10 @@ class Dia:
             # ADVICE r4: the flag is inert without the blocked read (auto
             # block engages only at buffer >= 1024) — say so instead of
             # quietly running the dequant path.
-            print(f"dia: --kv-dot-int8 is inactive for this generation "
-                  f"buffer ({buffer_len}: blocked KV read is off); running "
-                  f"the dequant read instead", file=sys.stderr)
+            self._notice_once(
+                f"dia: --kv-dot-int8 is inactive for this generation "
+                f"buffer ({buffer_len}: blocked KV read is off); running "
+                f"the dequant read instead")
         return active
 
     def enable_int8_kv_cache(self, enabled: bool = True) -> "Dia":
